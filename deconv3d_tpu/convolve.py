@@ -1,0 +1,201 @@
+"""Separable 3-D instrument convolution — the forward model (C3/C5/C7).
+
+TPU-native rebuild of the reference's convolution layer (reference:
+deconv3d's full-cube ``fftconvolve`` path and instrument ``convolve(cube)``;
+SURVEY.md §2 "Full-cube convolution", §3.3).  Everything here is pure
+``jnp`` and jit-safe with static shapes.
+
+Canonical model (see instruments.py): spectral LSF first, then per-plane
+spatial FSF of the *output* wavelength:
+
+    conv[mu] = FSF[mu] (*)2D ( Σ_d  lsf[mu, d] · clean[mu + d - l//2] )
+
+Boundary semantics are zero-padded "same" everywhere (matches
+``scipy.signal.fftconvolve(mode='same')`` with the cube embedded in zeros) —
+this is also exactly what the sampler's incremental patch updates assume.
+
+Three spatial implementations:
+  * ``apply_fsf``         — batched rFFT2 over λ-planes (the C5 path; right
+                            choice for full MUSE fields, kernels of any size).
+  * ``apply_fsf_direct``  — depthwise ``lax.conv`` (λ = channels,
+                            ``feature_group_count``): the MXU-friendly path
+                            for small kernels / small fields.
+and two spectral ones:
+  * ``lsf_matrix`` + matmul — dense [L, L] band matrix; MXU path for L ≲ 2k.
+  * ``apply_lsf_banded``    — l shifted fused multiply-adds; O(L·l·Y·X) and
+                            memory-light for full-field L ≈ 3681.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Spectral stage (LSF)
+# ---------------------------------------------------------------------------
+
+def lsf_matrix(lsf_bank: np.ndarray) -> np.ndarray:
+    """Dense banded convolution matrix ``M[mu, lam]`` from an LSF bank.
+
+    ``out = M @ in`` along the spectral axis, zero-padded "same" semantics.
+    Built host-side in float64 (precomputed once per run).
+    """
+    lsf_bank = np.asarray(lsf_bank, dtype=np.float64)
+    nl, width = lsf_bank.shape
+    half = width // 2
+    mat = np.zeros((nl, nl), dtype=np.float64)
+    mu = np.arange(nl)
+    for d in range(width):
+        lam = mu + (d - half)
+        ok = (lam >= 0) & (lam < nl)
+        mat[mu[ok], lam[ok]] += lsf_bank[mu[ok], d]
+    return mat
+
+
+def lsf_matrix_traced(lsf_bank: jax.Array) -> jax.Array:
+    """``lsf_matrix`` built with jnp scatter-adds — usable on traced banks.
+
+    Index sets are static (shapes only); values come from the traced bank, so
+    this works inside ``jit`` when the bank is an argument.
+    """
+    nl, width = lsf_bank.shape
+    half = width // 2
+    mat = jnp.zeros((nl, nl), dtype=lsf_bank.dtype)
+    mu = np.arange(nl)
+    for d in range(width):
+        lam = mu + (d - half)
+        ok = (lam >= 0) & (lam < nl)
+        mat = mat.at[mu[ok], lam[ok]].add(lsf_bank[mu[ok], d])
+    return mat
+
+
+def apply_lsf_matrix(data: jax.Array, mat: jax.Array) -> jax.Array:
+    """Spectral convolution as a dense matmul (MXU path)."""
+    return jnp.einsum(
+        "ml,lyx->myx", mat, data, preferred_element_type=data.dtype
+    )
+
+
+def apply_lsf_banded(data: jax.Array, lsf_bank: jax.Array) -> jax.Array:
+    """Spectral convolution as ``l`` shifted multiply-adds (memory path)."""
+    nl = data.shape[0]
+    width = lsf_bank.shape[1]
+    half = width // 2
+    padded = jnp.pad(data, ((half, half), (0, 0), (0, 0)))
+    out = jnp.zeros_like(data)
+    for d in range(width):
+        out = out + lsf_bank[:, d, None, None] * jax.lax.dynamic_slice_in_dim(
+            padded, d, nl, axis=0
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spatial stage (FSF)
+# ---------------------------------------------------------------------------
+
+def _next_fast_len(n: int) -> int:
+    """Smallest 5-smooth integer ≥ n (good FFT sizes on every backend).
+
+    Host-side on static shapes only; gaps between 5-smooth numbers are tiny
+    in the ranges we use (≤ few thousand), so the scan is effectively O(1).
+    """
+    m = max(int(n), 1)
+    while True:
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 1
+
+
+def apply_fsf(data: jax.Array, fsf_bank: jax.Array) -> jax.Array:
+    """Per-λ-plane 2-D convolution via batched rFFT2 (zero-padded "same").
+
+    ``fsf_bank`` is ``[L, f, f]`` (λ-dependent) or ``[1, f, f]`` /``[f, f]``
+    (shared kernel, broadcast over planes).
+    """
+    if fsf_bank.ndim == 2:
+        fsf_bank = fsf_bank[None]
+    nl, ny, nx = data.shape
+    f = fsf_bank.shape[-1]
+    if f == 1:
+        return data * fsf_bank[..., 0, 0][:, None, None]
+    half = f // 2
+    py = _next_fast_len(ny + f - 1)
+    px = _next_fast_len(nx + f - 1)
+    dataf = jnp.fft.rfft2(data, s=(py, px))
+    kernf = jnp.fft.rfft2(fsf_bank, s=(py, px))
+    full = jnp.fft.irfft2(dataf * kernf, s=(py, px))
+    return full[:, half : half + ny, half : half + nx].astype(data.dtype)
+
+
+def apply_fsf_direct(data: jax.Array, fsf_bank: jax.Array) -> jax.Array:
+    """Per-λ-plane 2-D convolution as a depthwise ``lax.conv``.
+
+    λ-planes become channels with ``feature_group_count = L`` so each plane
+    gets its own kernel — the conv lowers straight onto the TPU conv units.
+    Note ``lax.conv`` computes cross-correlation-style windows with the
+    kernel *not* flipped; our kernels are centro-symmetric only for circular
+    profiles, so we flip explicitly to keep true convolution semantics.
+    """
+    if fsf_bank.ndim == 2:
+        fsf_bank = fsf_bank[None]
+    nl = data.shape[0]
+    if fsf_bank.shape[0] == 1:
+        fsf_bank = jnp.broadcast_to(fsf_bank, (nl,) + fsf_bank.shape[1:])
+    kern = fsf_bank[:, None, ::-1, ::-1].astype(data.dtype)  # [L,1,f,f]
+    out = jax.lax.conv_general_dilated(
+        data[None],                      # [1, L, Y, X]  (NCHW)
+        kern,                            # [L, 1, f, f]  (OIHW)
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=nl,
+    )
+    return out[0]
+
+
+# ---------------------------------------------------------------------------
+# Full separable forward model
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("spatial", "spectral", "order"))
+def convolve_cube(
+    clean: jax.Array,
+    fsf_bank: jax.Array,
+    lsf_bank: jax.Array,
+    lsf_mat: Optional[jax.Array] = None,
+    spatial: str = "fft",
+    spectral: str = "auto",
+    order: str = "lsf_first",
+) -> jax.Array:
+    """Separable instrument convolution of a clean cube ``[L, Y, X]``.
+
+    ``order='lsf_first'`` is the package-canonical model (see instruments.py);
+    ``'fsf_first'`` reproduces the reference's stage order exactly for
+    λ-dependent FSFs (the two differ only in that case).
+    """
+    spatial_fn = apply_fsf if spatial == "fft" else apply_fsf_direct
+    if spectral == "auto":
+        spectral = "matrix" if (lsf_mat is not None or clean.shape[0] <= 2048) else "banded"
+    if spectral == "matrix":
+        mat = lsf_mat
+        if mat is None:
+            mat = lsf_matrix_traced(lsf_bank).astype(clean.dtype)
+        spectral_fn = lambda x: apply_lsf_matrix(x, mat)
+    else:
+        spectral_fn = lambda x: apply_lsf_banded(x, lsf_bank)
+
+    if order == "lsf_first":
+        return spatial_fn(spectral_fn(clean), fsf_bank)
+    elif order == "fsf_first":
+        return spectral_fn(spatial_fn(clean, fsf_bank))
+    raise ValueError(f"unknown order {order!r}")

@@ -1,0 +1,293 @@
+"""Instrument forward models: spatial FSF and spectral LSF kernel banks.
+
+TPU-native rebuild of the reference's instrument layer (reference:
+deconv3d/instruments.py — ``Instrument``/``MUSE``, Moffat/Gaussian PSF
+classes, MUSE/Gaussian LSF classes; SURVEY.md §2).  Capabilities C6/C7.
+
+Design differences from the reference (deliberate, TPU-first):
+
+* Kernels are rasterised once, on the host in float64, into dense *banks*:
+  ``fsf[nlambda, f, f]`` and ``lsf[nlambda, l]`` — one kernel row per output
+  wavelength plane.  λ-independent instruments simply broadcast one kernel.
+  The sampler and the FFT path consume only these banks, so
+  wavelength-dependent kernels (C7) cost nothing extra in the hot loop.
+* Every kernel is discretely normalised (sums to 1 over its footprint), so
+  convolution conserves flux on the sampled grid.
+
+Canonical forward model (applies everywhere in this package):
+
+    conv[mu] = FSF[mu] (*)_spatial ( LSF applied along lambda )(clean)[mu]
+
+i.e. the spectral LSF mixes wavelengths first, then the spatial FSF *of the
+output wavelength* blurs each plane.  For λ-independent kernels this is
+exactly the reference's (FSF-then-LSF) order since the stages commute; for
+λ-dependent FSF it differs by O(dFSF/dλ × LSF width) — negligible for MUSE
+(the FSF FWHM drifts ~1e-3 px across one LSF width) — and it buys exact
+separability of the incremental local-patch delta (C4): a spaxel-spectrum
+perturbation δ produces  Δconv[mu,dy,dx] = (Lδ)[mu] · FSF[mu,dy,dx].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .cube import Cube
+
+__all__ = [
+    "PointSpreadFunction", "MoffatPointSpreadFunction",
+    "GaussianPointSpreadFunction", "NoPointSpreadFunction",
+    "LineSpreadFunction", "MUSELineSpreadFunction",
+    "GaussianLineSpreadFunction", "NoLineSpreadFunction",
+    "Instrument", "MUSE",
+    "MoffatFSF", "GaussianFSF", "NoFSF",
+    "MUSELSF", "GaussianLSF", "NoLSF",
+]
+
+_GAUSS_FWHM_TO_SIGMA = 1.0 / (2.0 * np.sqrt(2.0 * np.log(2.0)))
+
+
+def _next_odd(n: int) -> int:
+    n = max(int(n), 1)
+    return n if n % 2 == 1 else n + 1
+
+
+# ---------------------------------------------------------------------------
+# Spatial FSF (Field/Point Spread Function)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PointSpreadFunction:
+    """Base spatial PSF.  FWHM is in arcsec, optionally λ-dependent.
+
+    ``fwhm_at(wavelengths)`` returns FWHM(λ) in arcsec; the linear drift
+    ``fwhm + fwhm_slope * (λ - lambda_ref)`` is the standard MUSE
+    parameterisation of seeing chromaticity.
+    """
+
+    fwhm: float = 0.66
+    lambda_ref: Optional[float] = None
+    fwhm_slope: float = 0.0
+
+    def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
+        wavelengths = np.asarray(wavelengths, dtype=np.float64)
+        if self.fwhm_slope == 0.0 or self.lambda_ref is None:
+            return np.full(wavelengths.shape, float(self.fwhm))
+        return self.fwhm + self.fwhm_slope * (wavelengths - self.lambda_ref)
+
+    def default_size(self, wavelengths, pixel_scale: float) -> int:
+        fw_px = float(np.max(self.fwhm_at(wavelengths))) / pixel_scale
+        return _next_odd(int(np.ceil(4.0 * fw_px)) | 1)
+
+    def profile(self, r2: np.ndarray, fwhm_px: float) -> np.ndarray:
+        """Unnormalised radial profile given squared radius in px²."""
+        raise NotImplementedError
+
+    def bank(
+        self, wavelengths, size: Optional[int] = None, pixel_scale: float = 0.2
+    ) -> np.ndarray:
+        """Rasterise to ``[nlambda, size, size]`` normalised kernels."""
+        wavelengths = np.asarray(wavelengths, dtype=np.float64)
+        if size is None:
+            size = self.default_size(wavelengths, pixel_scale)
+        if size % 2 != 1:
+            raise ValueError("FSF footprint size must be odd")
+        half = size // 2
+        yy, xx = np.mgrid[-half : half + 1, -half : half + 1].astype(np.float64)
+        r2 = yy * yy + xx * xx
+        fw_px = self.fwhm_at(wavelengths) / pixel_scale
+        kern = self.profile(r2[None, :, :], fw_px[:, None, None])
+        norm = kern.sum(axis=(1, 2), keepdims=True)
+        return (kern / norm).astype(np.float64)
+
+
+@dataclasses.dataclass(frozen=True)
+class MoffatPointSpreadFunction(PointSpreadFunction):
+    """Moffat profile (1 + (r/α)²)^(−β); the MUSE seeing model.
+
+    Reference parity: deconv3d's MoffatPointSpreadFunction (SURVEY.md §2).
+    α is derived from FWHM: α = FWHM / (2 √(2^{1/β} − 1)).
+    """
+
+    beta: float = 2.6
+
+    def profile(self, r2, fwhm_px):
+        alpha = fwhm_px / (2.0 * np.sqrt(2.0 ** (1.0 / self.beta) - 1.0))
+        return (1.0 + r2 / (alpha * alpha)) ** (-self.beta)
+
+    def default_size(self, wavelengths, pixel_scale: float) -> int:
+        # Moffat wings are heavy: use a wider support than the Gaussian rule.
+        fw_px = float(np.max(self.fwhm_at(wavelengths))) / pixel_scale
+        return _next_odd(int(np.ceil(5.0 * fw_px)) | 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianPointSpreadFunction(PointSpreadFunction):
+    """Circular Gaussian PSF parameterised by FWHM (arcsec)."""
+
+    def profile(self, r2, fwhm_px):
+        sigma = fwhm_px * _GAUSS_FWHM_TO_SIGMA
+        return np.exp(-0.5 * r2 / (sigma * sigma))
+
+
+@dataclasses.dataclass(frozen=True)
+class NoPointSpreadFunction(PointSpreadFunction):
+    """Identity spatial kernel (delta function) — for tests."""
+
+    def bank(self, wavelengths, size=None, pixel_scale: float = 0.2):
+        wavelengths = np.asarray(wavelengths, dtype=np.float64)
+        if size is None:
+            size = 1
+        kern = np.zeros((wavelengths.shape[0], size, size))
+        kern[:, size // 2, size // 2] = 1.0
+        return kern
+
+    def default_size(self, wavelengths, pixel_scale: float) -> int:
+        return 1
+
+
+# ---------------------------------------------------------------------------
+# Spectral LSF (Line Spread Function)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LineSpreadFunction:
+    """Base spectral LSF.  ``fwhm_at`` returns FWHM(λ) in Angstrom."""
+
+    def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def default_width(self, wavelengths, cdelt: float) -> int:
+        fw = float(np.max(self.fwhm_at(np.asarray(wavelengths)))) / abs(cdelt)
+        return _next_odd(int(np.ceil(4.0 * fw)) | 1)
+
+    def bank(
+        self, wavelengths, cdelt: float, width: Optional[int] = None
+    ) -> np.ndarray:
+        """Rasterise to ``[nlambda, width]`` normalised Gaussian kernels.
+
+        Row ``mu`` is the kernel centred on output plane ``mu``; entry ``d``
+        weights input plane ``mu + (d - width//2)``.
+        """
+        wavelengths = np.asarray(wavelengths, dtype=np.float64)
+        if width is None:
+            width = self.default_width(wavelengths, cdelt)
+        if width % 2 != 1:
+            raise ValueError("LSF width must be odd")
+        half = width // 2
+        offsets = np.arange(-half, half + 1, dtype=np.float64) * abs(cdelt)
+        sigma = self.fwhm_at(wavelengths)[:, None] * _GAUSS_FWHM_TO_SIGMA
+        kern = np.exp(-0.5 * (offsets[None, :] / sigma) ** 2)
+        return (kern / kern.sum(axis=1, keepdims=True)).astype(np.float64)
+
+
+@dataclasses.dataclass(frozen=True)
+class MUSELineSpreadFunction(LineSpreadFunction):
+    """MUSE spectral LSF: Gaussian with the calibrated FWHM(λ) polynomial.
+
+    Reference parity: deconv3d's MUSELineSpreadFunction (SURVEY.md §2), which
+    models the MUSE LSF as a Gaussian whose FWHM follows the instrument
+    calibration, quadratic in wavelength (Å):
+
+        FWHM(λ) = c2·λ² + c1·λ + c0
+
+    Defaults are the published MUSE UDF calibration (Bacon et al. 2017).
+    """
+
+    c2: float = 5.866e-8
+    c1: float = -9.187e-4
+    c0: float = 6.040
+
+    def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
+        lam = np.asarray(wavelengths, dtype=np.float64)
+        return self.c2 * lam * lam + self.c1 * lam + self.c0
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianLineSpreadFunction(LineSpreadFunction):
+    """Gaussian LSF with constant FWHM in Angstrom."""
+
+    fwhm: float = 2.5
+
+    def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
+        lam = np.asarray(wavelengths, dtype=np.float64)
+        return np.full(lam.shape, float(self.fwhm))
+
+
+@dataclasses.dataclass(frozen=True)
+class NoLineSpreadFunction(LineSpreadFunction):
+    """Identity spectral kernel (delta function) — for tests."""
+
+    def fwhm_at(self, wavelengths):
+        return np.zeros(np.asarray(wavelengths).shape)
+
+    def default_width(self, wavelengths, cdelt: float) -> int:
+        return 1
+
+    def bank(self, wavelengths, cdelt: float, width: Optional[int] = None):
+        wavelengths = np.asarray(wavelengths, dtype=np.float64)
+        if width is None:
+            width = 1
+        kern = np.zeros((wavelengths.shape[0], width))
+        kern[:, width // 2] = 1.0
+        return kern
+
+
+# ---------------------------------------------------------------------------
+# Instrument: couples one FSF and one LSF on a pixel grid
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Instrument:
+    """One FSF + one LSF + the spatial pixel scale (arcsec/px).
+
+    Mirrors the reference's ``Instrument`` responsibility (SURVEY.md §2):
+    rasterise both kernels onto a cube's grid and expose full-cube
+    convolution.  The heavy lifting lives in :mod:`deconv3d_tpu.convolve`.
+    """
+
+    fsf: PointSpreadFunction = dataclasses.field(
+        default_factory=MoffatPointSpreadFunction
+    )
+    lsf: LineSpreadFunction = dataclasses.field(
+        default_factory=MUSELineSpreadFunction
+    )
+    pixel_scale: float = 0.2
+
+    def kernel_banks(
+        self,
+        cube: Cube,
+        fsf_size: Optional[int] = None,
+        lsf_width: Optional[int] = None,
+    ):
+        """Rasterise (fsf_bank [L,f,f], lsf_bank [L,l]) on the cube's grid."""
+        lam = cube.wavelengths()
+        fsf = self.fsf.bank(lam, size=fsf_size, pixel_scale=self.pixel_scale)
+        lsf = self.lsf.bank(lam, cdelt=cube.cdelt, width=lsf_width)
+        return fsf, lsf
+
+    def convolve(self, cube: Cube) -> Cube:
+        """Full-cube separable convolution of ``cube.data`` (FFT path, C5)."""
+        from . import convolve as conv
+
+        fsf, lsf = self.kernel_banks(cube)
+        out = conv.convolve_cube(cube.data, fsf, lsf)
+        return dataclasses.replace(cube, data=out)
+
+
+@dataclasses.dataclass(frozen=True)
+class MUSE(Instrument):
+    """VLT/MUSE wide-field mode defaults: 0.2″/px, Moffat FSF, MUSE LSF."""
+
+    pixel_scale: float = 0.2
+
+
+# Short aliases (TPU package style); the long names match the reference API.
+MoffatFSF = MoffatPointSpreadFunction
+GaussianFSF = GaussianPointSpreadFunction
+NoFSF = NoPointSpreadFunction
+MUSELSF = MUSELineSpreadFunction
+GaussianLSF = GaussianLineSpreadFunction
+NoLSF = NoLineSpreadFunction

@@ -1,0 +1,33 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+SURVEY.md §4.5: a single physical TPU chip is available in dev, so
+multi-chip sharding is validated the standard JAX way — CPU backend with
+``--xla_force_host_platform_device_count=8``.
+
+Note: the axon sitecustomize imports jax at interpreter start with
+``JAX_PLATFORMS=axon``, so the env-var route is too late here; we switch
+platforms through ``jax.config`` (backends are not initialised yet at
+conftest time, so the XLA_FLAGS fake-device knob still applies).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# Exact-oracle tests compare against float64 scipy references; run the CPU
+# test suite in x64.  (TPU float32 behaviour is covered by tolerance tests.)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
