@@ -1,0 +1,513 @@
+"""MH-within-Gibbs sampler core — jit-compiled, color-decomposed (C1–C4, C8).
+
+TPU-native rebuild of the reference's sampler (reference: deconv3d's ``Run``
+MCMC loop — per-spaxel proposal / accept / incremental chi²; SURVEY.md §2
+"Sampler (Run)", §3.2).  The reference iterates spaxels one at a time in
+Python; that design is hostile to any accelerator.  This module replaces it
+with a mathematically equivalent *color-decomposed* Gibbs scan:
+
+  * The FSF footprint is ``f×f`` (odd).  Two spaxels whose (y, x) offsets are
+    both multiples of ``f`` have **disjoint** likelihood patches, so their
+    single-site MH updates commute: updating them simultaneously is exactly
+    equivalent to updating them sequentially in any order.  Coloring the
+    spaxel grid by ``(y mod f, x mod f)`` yields ``f²`` colors; one *sweep*
+    scans the colors with ``lax.scan`` and updates every spaxel of a color in
+    one fused, branchless step.  The chain's stationary distribution is
+    identical to the serial scan's (same set of single-site kernels, fixed
+    scan order).
+
+  * Stride == footprint makes same-color patches tile space exactly, so the
+    "gather patches / scatter patches" of the reference becomes a single
+    ``dynamic_slice`` + ``reshape`` (and the reverse) — no gather/scatter
+    ops, no indices, perfectly XLA-fusible.
+
+  * Incremental likelihood (C4): a spaxel-spectrum perturbation δ changes the
+    convolved model by the separable outer product Δ[μ,dy,dx] = g[μ]·F[μ,dy,dx]
+    with g = LSF(δ), so Δchi² reduces to two small einsums against the
+    residual patch.  The ``Σ F² w`` quadratic term depends only on the
+    (constant) weights and is precomputed for every spaxel at init.
+
+  * RNG is threefry key-splitting inside the scan; acceptance is a branchless
+    ``jnp.where``; masked spaxels (C8) and off-grid padding spaxels are
+    neutralised by zero weights + zeroed jumps.
+
+State layout (all shapes static):
+    clean  [L, Yc, Xc]   Yc = ceil(Y/f)·f   (zero-padded clean cube)
+    resid  [L, Hp, Wp]   Hp = f-1 + Yc      (data - conv(clean), zero-padded;
+                          the patch of spaxel y covers padded rows [y, y+f))
+Weights w = 1/variance live on the same padded grid with 0 in the pads, so
+boundary patches need no special-casing anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import convolve as cv
+from .cube import Cube
+from .instruments import Instrument
+
+
+# ---------------------------------------------------------------------------
+# Configuration
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Sampler knobs (reference parity: Run.__init__ kwargs, SURVEY.md §5.6).
+
+    ``max_iterations`` counts *full Gibbs sweeps* (every unmasked spaxel
+    visited once per sweep — the reference's iteration visits one spaxel;
+    one sweep here does the work of Y·X reference iterations).
+    """
+
+    max_iterations: int = 1000
+    burn_in: Optional[int] = None          # default: max_iterations // 2
+    keep_one_in: int = 1                   # thinning of the posterior mean
+    jump_scale: Optional[float] = None     # None → auto from weights
+    target_acceptance: float = 0.234       # adaptive-MH target (burn-in only)
+    adapt_rate: float = 0.10               # Robbins-Monro step for log-scale
+    positivity: bool = False               # optional positivity constraint
+    initial: str = "zeros"                 # 'zeros' | 'data'
+    fsf_size: Optional[int] = None
+    lsf_width: Optional[int] = None
+    seed: int = 0
+    dtype: np.dtype = np.float32
+
+    def resolved_burn_in(self) -> int:
+        return self.max_iterations // 2 if self.burn_in is None else self.burn_in
+
+
+# ---------------------------------------------------------------------------
+# Problem: static geometry + constant device arrays
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """Everything constant across sweeps.
+
+    A pytree: kernel banks / weights are traced leaves (so one compiled
+    sampler serves many cubes of the same geometry), while the geometry and
+    config ride along as static metadata.
+    """
+
+    # static geometry
+    L: int = dataclasses.field(metadata=dict(static=True))
+    Y: int = dataclasses.field(metadata=dict(static=True))
+    X: int = dataclasses.field(metadata=dict(static=True))
+    f: int = dataclasses.field(metadata=dict(static=True))   # FSF footprint (odd)
+    ny: int = dataclasses.field(metadata=dict(static=True))  # ceil(Y / f)
+    nx: int = dataclasses.field(metadata=dict(static=True))  # ceil(X / f)
+    # constants (device arrays)
+    fsf: jax.Array = None                   # [L, f, f]
+    lsf: jax.Array = None                   # [L, lw]
+    data_pad: jax.Array = None              # [L, Hp, Wp]
+    w_pad: jax.Array = None                 # [L, Hp, Wp] (1/variance, 0 in pads)
+    quad: jax.Array = None                  # [L, Yc, Xc]  Σ_{dy,dx} F² w  per spaxel
+    valid: jax.Array = None                 # [Yc, Xc] bool (unmasked & on-grid)
+    config: RunConfig = dataclasses.field(
+        default_factory=RunConfig, metadata=dict(static=True)
+    )
+
+    @property
+    def Yc(self) -> int:
+        return self.ny * self.f
+
+    @property
+    def Xc(self) -> int:
+        return self.nx * self.f
+
+    @property
+    def Hp(self) -> int:
+        return self.f - 1 + self.Yc
+
+    @property
+    def Wp(self) -> int:
+        return self.f - 1 + self.Xc
+
+    @property
+    def n_colors(self) -> int:
+        return self.f * self.f
+
+    @property
+    def n_valid(self) -> int:
+        return int(np.asarray(self.valid).sum())
+
+
+# ---------------------------------------------------------------------------
+# Sampler state (pytree)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplerState:
+    clean: jax.Array        # [L, Yc, Xc]
+    resid: jax.Array        # [L, Hp, Wp]
+    key: jax.Array
+    chi2: jax.Array         # scalar, Kahan-compensated
+    chi2_comp: jax.Array    # Kahan compensation term
+    log_scale: jax.Array    # [Yc, Xc] per-spaxel log jump scale
+    n_accept: jax.Array     # scalar float
+    n_propose: jax.Array    # scalar float
+    sum_clean: jax.Array    # [L, Yc, Xc] posterior-mean accumulator
+    sum_sq: jax.Array       # [L, Yc, Xc] posterior-var accumulator
+    n_kept: jax.Array       # scalar float
+    sweep: jax.Array        # int32 sweep counter
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ChainResult:
+    """Output of run_sweeps: final state + per-sweep scalar traces."""
+
+    state: SamplerState
+    chi2_trace: jax.Array        # [n_sweeps]
+    accept_trace: jax.Array      # [n_sweeps] sweep acceptance rate
+    flux_trace: jax.Array        # [n_sweeps] Σ clean over valid spaxels
+
+
+# ---------------------------------------------------------------------------
+# Problem construction
+# ---------------------------------------------------------------------------
+
+def make_problem(
+    cube: Cube, instrument: Instrument, config: RunConfig = RunConfig()
+) -> Problem:
+    """Rasterise kernels, build padded weights and per-spaxel quadratic terms."""
+    cube = cube.sanitized()
+    dtype = config.dtype
+    L, Y, X = cube.shape
+    lam = cube.wavelengths()
+
+    fsf_np = instrument.fsf.bank(
+        lam, size=config.fsf_size, pixel_scale=instrument.pixel_scale
+    )
+    lsf_np = instrument.lsf.bank(lam, cdelt=cube.cdelt, width=config.lsf_width)
+    f = fsf_np.shape[-1]
+    ny, nx = -(-Y // f), -(-X // f)
+    Yc, Xc = ny * f, nx * f
+    Hp, Wp = f - 1 + Yc, f - 1 + Xc
+    h = f // 2
+
+    # weights on the padded grid; zero outside the data region and at masked
+    # spaxels (C8) / invalid variances (C2).
+    w = 1.0 / np.asarray(cube.variance, dtype=np.float64)
+    w[~np.isfinite(w)] = 0.0
+    mask = np.asarray(cube.mask)
+    w[:, mask] = 0.0
+    w_pad = np.zeros((L, Hp, Wp))
+    w_pad[:, h : h + Y, h : h + X] = w
+    data_pad = np.zeros((L, Hp, Wp))
+    data_pad[:, h : h + Y, h : h + X] = np.asarray(cube.data, dtype=np.float64)
+
+    # Σ_{dy,dx} F²[λ,dy,dx] w[λ, y+dy, x+dx] for every spaxel: a depthwise
+    # VALID correlation of the padded weights with F².  [L, Yc, Xc].
+    quad = jax.lax.conv_general_dilated(
+        jnp.asarray(w_pad, dtype=dtype)[None],
+        jnp.asarray(fsf_np**2, dtype=dtype)[:, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        feature_group_count=L,
+    )[0]
+    quad = np.asarray(quad)
+
+    valid = np.zeros((Yc, Xc), dtype=bool)
+    valid[:Y, :X] = ~mask
+    # spaxels with zero total weight in their footprint have an improper flat
+    # conditional — freeze them at their initial value instead of letting them
+    # random-walk (SURVEY.md §2 "Masking").
+    valid &= quad.sum(axis=0) > 0
+
+    return Problem(
+        L=L, Y=Y, X=X, f=f, ny=ny, nx=nx,
+        fsf=jnp.asarray(fsf_np, dtype=dtype),
+        lsf=jnp.asarray(lsf_np, dtype=dtype),
+        data_pad=jnp.asarray(data_pad, dtype=dtype),
+        w_pad=jnp.asarray(w_pad, dtype=dtype),
+        quad=jnp.asarray(quad, dtype=dtype),
+        valid=jnp.asarray(valid),
+        config=config,
+    )
+
+
+def init_state(problem: Problem, cube: Optional[Cube] = None) -> SamplerState:
+    """Initial sampler state: clean guess, full-cube residual, chi² (C5 path).
+
+    The initial chi² uses the FFT full-cube convolution — the only full
+    re-convolution in a run (reference parity: Run.__init__, SURVEY.md §3.1).
+    """
+    p, cfg = problem, problem.config
+    dtype = cfg.dtype
+    h = p.f // 2
+    clean = jnp.zeros((p.L, p.Yc, p.Xc), dtype=dtype)
+    if cfg.initial == "data" and cube is not None:
+        clean = clean.at[:, : p.Y, : p.X].set(
+            jnp.nan_to_num(jnp.asarray(cube.data, dtype=dtype))
+        )
+
+    conv = cv.convolve_cube(clean[:, : p.Y, : p.X], p.fsf, p.lsf)
+    resid = p.data_pad.at[:, h : h + p.Y, h : h + p.X].add(-conv)
+    # zero residual where weight is zero so chi² and patch updates agree
+    resid = jnp.where(p.w_pad > 0, resid, 0.0)
+    chi2 = jnp.sum(resid * resid * p.w_pad, dtype=jnp.float32)
+
+    if cfg.jump_scale is not None:
+        log_scale = jnp.full((p.Yc, p.Xc), np.log(cfg.jump_scale), dtype=dtype)
+    else:
+        # Random-walk MH over an ~L-dimensional spectrum: optimal step is
+        # ≈ 2.4/√L × conditional σ, with σ(voxel) ≈ 1/√quad.
+        sigma = 1.0 / jnp.sqrt(jnp.maximum(p.quad.mean(axis=0), 1e-20))
+        log_scale = jnp.log(2.4 / np.sqrt(p.L) * sigma).astype(dtype)
+    log_scale = jnp.where(p.valid, log_scale, 0.0)
+
+    zeros_c = jnp.zeros((p.L, p.Yc, p.Xc), dtype=dtype)
+    return SamplerState(
+        clean=clean,
+        resid=resid,
+        key=jax.random.PRNGKey(cfg.seed),
+        chi2=chi2,
+        chi2_comp=jnp.zeros((), jnp.float32),
+        log_scale=log_scale,
+        n_accept=jnp.zeros((), jnp.float32),
+        n_propose=jnp.zeros((), jnp.float32),
+        sum_clean=zeros_c,
+        sum_sq=zeros_c,
+        n_kept=jnp.zeros((), jnp.float32),
+        sweep=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The hot loop
+# ---------------------------------------------------------------------------
+
+def _lsf_apply_lastaxis(j: jax.Array, lsf: jax.Array) -> jax.Array:
+    """g[..., mu] = Σ_d lsf[mu, d] · j[..., mu + d - lw//2]  (banded, cheap).
+
+    This is the spectral stage of the incremental delta (C4): O(L·lw) per
+    spaxel instead of the O(L²) dense matmul — the same zero-padded "same"
+    semantics as convolve.lsf_matrix.
+    """
+    L = j.shape[-1]
+    lw = lsf.shape[1]
+    half = lw // 2
+    jp = jnp.pad(j, [(0, 0)] * (j.ndim - 1) + [(half, half)])
+    out = jnp.zeros_like(j)
+    for d in range(lw):
+        out = out + lsf[:, d] * jax.lax.dynamic_slice_in_dim(jp, d, L, axis=-1)
+    return out
+
+
+def _i32(idx) -> jax.Array:
+    return jnp.asarray(idx, jnp.int32)
+
+
+def _color_slice(arr: jax.Array, cy, cx, ny: int, nx: int, f: int) -> jax.Array:
+    """Gather the (cy, cx)-color entries of a [..., ny·f, nx·f] array.
+
+    Views the array as [..., ny, f, nx, f] and slices index (cy, cx) of the
+    two f-axes — one dynamic_slice, returns [..., ny, nx].
+    """
+    lead = arr.shape[:-2]
+    r = arr.reshape(lead + (ny, f, nx, f))
+    zero = _i32(0)
+    starts = (zero,) * len(lead) + (zero, _i32(cy), zero, _i32(cx))
+    sizes = lead + (ny, 1, nx, 1)
+    return jax.lax.dynamic_slice(r, starts, sizes).reshape(lead + (ny, nx))
+
+
+def _color_update(arr: jax.Array, vals: jax.Array, cy, cx, ny: int, nx: int, f: int):
+    """Scatter [..., ny, nx] values back into the (cy, cx) color positions."""
+    lead = arr.shape[:-2]
+    r = arr.reshape(lead + (ny, f, nx, f))
+    zero = _i32(0)
+    starts = (zero,) * len(lead) + (zero, _i32(cy), zero, _i32(cx))
+    vals = vals.reshape(lead + (ny, 1, nx, 1))
+    return jax.lax.dynamic_update_slice(r, vals, starts).reshape(arr.shape)
+
+
+def _make_color_step(p: Problem):
+    """One color update: propose/accept all spaxels of color (cy, cx) at once."""
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    cfg = p.config
+    target = cfg.target_acceptance
+
+    def color_step(carry, color):
+        (resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate) = carry
+        cy, cx = color // f, color % f
+
+        valid_c = _color_slice(p.valid, cy, cx, ny, nx, f)          # [ny,nx]
+        scale_c = _color_slice(log_scale, cy, cx, ny, nx, f)        # [ny,nx]
+
+        # --- propose: Cauchy-scaled full-spectrum jumps (reference parity:
+        # galpak-family Cauchy proposal, SURVEY.md §2 "RNG / proposals")
+        key, k1, k2 = jax.random.split(key, 3)
+        draw = jax.random.cauchy(k1, (ny, nx, L), dtype=resid.dtype)
+        # clip the heavy Cauchy tail: |draw| > 1e3·scale is always rejected
+        # anyway but would poison float32 intermediates.
+        draw = jnp.clip(draw, -1e3, 1e3)
+        jumps = jnp.exp(scale_c)[..., None] * draw
+        jumps = jnp.where(valid_c[..., None], jumps, 0.0)
+
+        # --- incremental delta (C4): Δ[μ,dy,dx] = g[μ]·F[μ,dy,dx]
+        g = _lsf_apply_lastaxis(jumps, p.lsf)                        # [ny,nx,L]
+
+        # patch block: one dynamic_slice, then exact tiling reshape
+        block = jax.lax.dynamic_slice(
+            resid, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
+        ).reshape(L, ny, f, nx, f)
+        wblock = jax.lax.dynamic_slice(
+            p.w_pad, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
+        ).reshape(L, ny, f, nx, f)
+
+        # Δchi² = Σ (Δ² - 2 r Δ) w  =  Σ_μ g² (Σ F² w)  -  2 Σ_μ g (Σ F r w)
+        quad_c = _color_slice(p.quad, cy, cx, ny, nx, f)             # [L,ny,nx]
+        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock)    # [L,ny,nx]
+        dchi2 = jnp.einsum("yxl,lyx->yx", g * g, quad_c) - 2.0 * jnp.einsum(
+            "yxl,lyx->yx", g, lin
+        )
+
+        if cfg.positivity:
+            clean_c = _color_slice(clean, cy, cx, ny, nx, f)         # [L,ny,nx]
+            neg = jnp.any(clean_c + jnp.moveaxis(jumps, -1, 0) < 0, axis=0)
+            dchi2 = jnp.where(neg, jnp.inf, dchi2)
+
+        # --- branchless Metropolis accept (C1)
+        logu = jnp.log(jax.random.uniform(
+            k2, (ny, nx), dtype=resid.dtype, minval=1e-37))
+        accept = (logu < -0.5 * dchi2) & valid_c                     # [ny,nx]
+        accf = accept.astype(resid.dtype)
+
+        # --- commit: residual patches, clean spectra, chi² (Kahan)
+        delta = jnp.einsum("yxl,lab->lyaxb", g * accf[..., None], p.fsf)
+        block = (block - delta).reshape(L, ny * f, nx * f)
+        resid = jax.lax.dynamic_update_slice(resid, block, (_i32(0), _i32(cy), _i32(cx)))
+
+        clean_c = _color_slice(clean, cy, cx, ny, nx, f)
+        clean = _color_update(
+            clean, clean_c + jnp.moveaxis(jumps * accf[..., None], -1, 0),
+            cy, cx, ny, nx, f,
+        )
+
+        dchi2_tot = jnp.sum(
+            jnp.where(accept, dchi2, 0.0), dtype=jnp.float32
+        )
+        y = dchi2_tot - chi2c
+        t = chi2 + y
+        chi2c = (t - chi2) - y
+        chi2 = t
+
+        # --- adaptive scale (burn-in only; adapt_rate is 0 afterwards)
+        log_scale = _color_update(
+            log_scale,
+            scale_c + adapt_rate * jnp.where(valid_c, accf - target, 0.0),
+            cy, cx, ny, nx, f,
+        )
+
+        acc = acc + jnp.sum(accf, dtype=jnp.float32)
+        nprop = nprop + jnp.sum(valid_c, dtype=jnp.float32)
+        return (
+            resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate
+        ), None
+
+    return color_step
+
+
+def _make_sweep(p: Problem):
+    """One full Gibbs sweep: lax.scan over the f² colors + trace outputs."""
+    color_step = _make_color_step(p)
+    colors = jnp.arange(p.n_colors, dtype=jnp.int32)
+    validf = p.valid.astype(p.config.dtype)
+
+    def sweep(state: SamplerState, xs):
+        adapt_rate, keep = xs
+        carry = (
+            state.resid, state.clean, state.key, state.chi2, state.chi2_comp,
+            state.log_scale, jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32), adapt_rate,
+        )
+        carry, _ = jax.lax.scan(color_step, carry, colors)
+        resid, clean, key, chi2, chi2c, log_scale, acc, nprop, _ = carry
+
+        keep_c = keep.astype(clean.dtype)
+        state = SamplerState(
+            clean=clean, resid=resid, key=key, chi2=chi2, chi2_comp=chi2c,
+            log_scale=log_scale,
+            n_accept=state.n_accept + acc,
+            n_propose=state.n_propose + nprop,
+            sum_clean=state.sum_clean + keep_c * clean,
+            sum_sq=state.sum_sq + keep_c * clean * clean,
+            n_kept=state.n_kept + keep.astype(jnp.float32),
+            sweep=state.sweep + 1,
+        )
+        trace = (
+            chi2,
+            acc / jnp.maximum(nprop, 1.0),
+            jnp.sum(clean * validf[None], dtype=jnp.float32),
+        )
+        return state, trace
+
+    return sweep
+
+
+@partial(jax.jit, static_argnames=("n_sweeps",))
+def run_sweeps(
+    problem: Problem, state: SamplerState, n_sweeps: int
+) -> ChainResult:
+    """Run ``n_sweeps`` full Gibbs sweeps under one jit (the hot path).
+
+    Burn-in handling: sweeps before ``burn_in`` adapt the per-spaxel jump
+    scale and are excluded from the posterior accumulators; the schedule is
+    data to the scan (no recompilation at the burn-in boundary).
+    """
+    cfg = problem.config
+    sweep = _make_sweep(problem)
+    idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
+    burn = cfg.resolved_burn_in()
+    in_burn = idx < burn
+    adapt = jnp.where(in_burn, jnp.float32(cfg.adapt_rate), 0.0)
+    keep = jnp.where(
+        ~in_burn & ((idx - burn) % cfg.keep_one_in == 0), 1.0, 0.0
+    ).astype(jnp.float32)
+    state, (chi2_t, acc_t, flux_t) = jax.lax.scan(
+        sweep, state, (adapt, keep)
+    )
+    return ChainResult(
+        state=state, chi2_trace=chi2_t, accept_trace=acc_t, flux_trace=flux_t
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers
+# ---------------------------------------------------------------------------
+
+def full_chi2(problem: Problem, state: SamplerState) -> jax.Array:
+    """Recompute chi² from scratch via the FFT path (drift check, C5)."""
+    p = problem
+    h = p.f // 2
+    conv = cv.convolve_cube(state.clean[:, : p.Y, : p.X], p.fsf, p.lsf)
+    resid = p.data_pad[:, h : h + p.Y, h : h + p.X] - conv
+    w = p.w_pad[:, h : h + p.Y, h : h + p.X]
+    return jnp.sum(resid * resid * w, dtype=jnp.float32)
+
+
+def posterior_mean(problem: Problem, state: SamplerState) -> jax.Array:
+    """Posterior-mean clean cube [L, Y, X] from the accumulators."""
+    p = problem
+    mean = state.sum_clean / jnp.maximum(state.n_kept, 1.0)
+    return mean[:, : p.Y, : p.X]
+
+
+def posterior_std(problem: Problem, state: SamplerState) -> jax.Array:
+    p = problem
+    n = jnp.maximum(state.n_kept, 1.0)
+    mean = state.sum_clean / n
+    var = jnp.maximum(state.sum_sq / n - mean * mean, 0.0)
+    return jnp.sqrt(var)[:, : p.Y, : p.X]

@@ -1,0 +1,206 @@
+"""Sampler core tests: incremental invariant, masking, statistics (SURVEY §4)."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax
+import jax.numpy as jnp
+
+from deconv3d_tpu import Cube
+from deconv3d_tpu import instruments as ins
+from deconv3d_tpu import sampler as sm
+from deconv3d_tpu import convolve as cv
+
+
+def _make_toy(rng, L=16, Y=6, X=6, fsf_size=5, lsf_width=5, noise=0.1,
+              mask=None, dtype=np.float64):
+    """Synthetic emission-line cube + instrument (BASELINE config-1 style)."""
+    truth = np.zeros((L, Y, X))
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    truth[L // 3, 1, 1] = 3.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.5), lsf=ins.GaussianLSF(fwhm=2.0),
+        pixel_scale=0.2,
+    )
+    cube0 = Cube.from_data(truth, crval=4750.0, cdelt=1.25, dtype=dtype)
+    fsf = inst.fsf.bank(cube0.wavelengths(), size=fsf_size, pixel_scale=0.2)
+    lsf = inst.lsf.bank(cube0.wavelengths(), cdelt=1.25, width=lsf_width)
+    conv = np.asarray(cv.convolve_cube(jnp.asarray(truth), jnp.asarray(fsf),
+                                       jnp.asarray(lsf)))
+    data = conv + noise * rng.standard_normal(conv.shape)
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, noise**2), mask=mask,
+        crval=4750.0, cdelt=1.25, dtype=dtype,
+    )
+    return cube, inst, truth
+
+
+@pytest.fixture
+def toy(rng):
+    return _make_toy(rng)
+
+
+def test_incremental_matches_full_conv(toy):
+    """THE invariant (SURVEY §4.2): after many accepted local-patch updates,
+    data - resid must equal the full FFT re-convolution of the clean cube."""
+    cube, inst, _ = toy
+    cfg = sm.RunConfig(max_iterations=40, burn_in=10, seed=1, dtype=np.float64,
+                       fsf_size=5, lsf_width=5)
+    p = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(p)
+    res = sm.run_sweeps(p, state, 40)
+    state = res.state
+    assert float(state.n_accept) > 0, "nothing accepted; test is vacuous"
+
+    h = p.f // 2
+    conv = cv.convolve_cube(state.clean[:, : p.Y, : p.X], p.fsf, p.lsf)
+    model_from_resid = (
+        p.data_pad[:, h : h + p.Y, h : h + p.X]
+        - state.resid[:, h : h + p.Y, h : h + p.X]
+    )
+    w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X])
+    np.testing.assert_allclose(
+        np.asarray(model_from_resid)[w > 0], np.asarray(conv)[w > 0],
+        atol=1e-9,
+    )
+    # running chi² (Kahan) matches from-scratch chi²
+    np.testing.assert_allclose(
+        float(state.chi2), float(sm.full_chi2(p, state)), rtol=1e-5
+    )
+
+
+def test_chi2_decreases_from_zero_init(toy):
+    cube, inst, _ = toy
+    cfg = sm.RunConfig(max_iterations=60, burn_in=30, seed=3,
+                       dtype=np.float64, fsf_size=5, lsf_width=5)
+    p = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(p)
+    chi0 = float(state.chi2)
+    res = sm.run_sweeps(p, state, 60)
+    assert float(res.state.chi2) < chi0
+    # chi2 trace is monotone-ish decreasing at the start and finite
+    assert np.isfinite(np.asarray(res.chi2_trace)).all()
+    # acceptance rate is sane (not stuck at 0 or 1 after adaptation)
+    tail_acc = float(np.mean(np.asarray(res.accept_trace)[-10:]))
+    assert 0.05 < tail_acc < 0.9
+
+
+def test_masked_spaxels_frozen(rng):
+    mask = np.zeros((6, 6), dtype=bool)
+    mask[2, 3] = True
+    mask[0, 0] = True
+    cube, inst, _ = _make_toy(rng, mask=mask)
+    cfg = sm.RunConfig(max_iterations=30, burn_in=10, seed=5,
+                       dtype=np.float64, fsf_size=5, lsf_width=5)
+    p = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(p)
+    res = sm.run_sweeps(p, state, 30)
+    clean = np.asarray(res.state.clean)
+    assert (clean[:, 2, 3] == 0).all(), "masked spaxel was updated"
+    assert (clean[:, 0, 0] == 0).all()
+    assert np.abs(clean[:, 3, 3]).max() > 0, "unmasked spaxels should move"
+    # chi² must exclude masked spaxels: weights are zero there
+    w = np.asarray(p.w_pad)
+    h = p.f // 2
+    assert (w[:, h + 2, h + 3] == 0).all()
+
+
+def test_deterministic_same_seed(toy):
+    cube, inst, _ = toy
+    cfg = sm.RunConfig(max_iterations=20, seed=7, dtype=np.float64,
+                       fsf_size=5, lsf_width=5)
+    p = sm.make_problem(cube, inst, cfg)
+    r1 = sm.run_sweeps(p, sm.init_state(p), 20)
+    r2 = sm.run_sweeps(p, sm.init_state(p), 20)
+    np.testing.assert_array_equal(np.asarray(r1.state.clean),
+                                  np.asarray(r2.state.clean))
+    np.testing.assert_array_equal(np.asarray(r1.chi2_trace),
+                                  np.asarray(r2.chi2_trace))
+
+
+def test_segmented_equals_single_run(toy):
+    """Checkpoint/resume correctness: 2×15 sweeps == 30 sweeps bit-for-bit."""
+    cube, inst, _ = toy
+    cfg = sm.RunConfig(max_iterations=30, burn_in=10, seed=11,
+                       dtype=np.float64, fsf_size=5, lsf_width=5)
+    p = sm.make_problem(cube, inst, cfg)
+    full = sm.run_sweeps(p, sm.init_state(p), 30)
+    part = sm.run_sweeps(p, sm.init_state(p), 15)
+    part2 = sm.run_sweeps(p, part.state, 15)
+    np.testing.assert_array_equal(np.asarray(full.state.clean),
+                                  np.asarray(part2.state.clean))
+    np.testing.assert_array_equal(np.asarray(full.state.sum_clean),
+                                  np.asarray(part2.state.sum_clean))
+
+
+def _dense_forward_operator(L, Y, X, fsf, lsf):
+    """Dense K [n,n] of the separable forward model (oracle, small dims)."""
+    n = L * Y * X
+    mat = cv.lsf_matrix(lsf)
+    K = np.zeros((n, n))
+    eye = np.zeros((L, Y, X))
+    for i in range(n):
+        eye.flat[i] = 1.0
+        spec = np.einsum("ml,lyx->myx", mat, eye)
+        out = np.empty_like(spec)
+        for l in range(L):
+            k = fsf[l] if fsf.shape[0] > 1 else fsf[0]
+            out[l] = scipy.signal.fftconvolve(spec[l], k, mode="same")
+        K[:, i] = out.ravel()
+        eye.flat[i] = 0.0
+    return K
+
+
+@pytest.mark.slow
+def test_posterior_matches_analytic(rng):
+    """Statistical bar (SURVEY §4.3): chain moments match the analytic
+    Gaussian posterior of the linear model (flat prior).
+
+    Kernel widths are chosen so the posterior is only moderately correlated
+    (max off-diagonal ρ ≈ 0.34): this verifies *correctness* (zero bias) with
+    tight bounds.  Under heavy blur any single-site sampler — the reference's
+    serial scan identically — mixes slowly, and moment checks would measure
+    autocorrelation time rather than correctness.
+    """
+    L, Y, X = 8, 4, 4
+    noise = 0.5
+    truth = np.zeros((L, Y, X))
+    truth[4, 2, 2] = 4.0
+    lam = 4750.0 + 1.25 * np.arange(L)
+    fsf = ins.GaussianFSF(fwhm=0.25).bank(lam, size=3, pixel_scale=0.2)
+    lsf = ins.GaussianLSF(fwhm=1.0).bank(lam, cdelt=1.25, width=3)
+    conv = np.asarray(
+        cv.convolve_cube(jnp.asarray(truth), jnp.asarray(fsf), jnp.asarray(lsf))
+    )
+    data = conv + noise * rng.standard_normal(conv.shape)
+    cube = Cube.from_data(data, variance=np.full_like(data, noise**2),
+                          crval=4750.0, cdelt=1.25, dtype=np.float64)
+
+    # analytic posterior: N( (KᵀWK)⁻¹KᵀW d,  (KᵀWK)⁻¹ )
+    K = _dense_forward_operator(L, Y, X, fsf, lsf)
+    W = np.eye(L * Y * X) / noise**2
+    P = K.T @ W @ K
+    cov = np.linalg.inv(P)
+    mean = cov @ K.T @ W @ data.ravel()
+    sig = np.sqrt(np.diag(cov))
+
+    inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.25),
+                          lsf=ins.GaussianLSF(fwhm=1.0), pixel_scale=0.2)
+    n_sweeps = 8000
+    cfg = sm.RunConfig(max_iterations=n_sweeps, burn_in=1000, seed=13,
+                       dtype=np.float64, fsf_size=3, lsf_width=3)
+    p = sm.make_problem(cube, inst, cfg)
+    res = sm.run_sweeps(p, sm.init_state(p), n_sweeps)
+    post_mean = np.asarray(sm.posterior_mean(p, res.state)).ravel()
+    post_std = np.asarray(sm.posterior_std(p, res.state)).ravel()
+
+    z = (post_mean - mean) / sig
+    # measured: mean|z|≈0.09, max|z|≈0.35, std ratio ≈0.98 across seeds
+    assert np.abs(z).mean() < 0.2, f"posterior mean off: mean|z|={np.abs(z).mean()}"
+    assert np.abs(z).max() < 1.0, f"max|z|={np.abs(z).max()}"
+    ratio = post_std / sig
+    assert abs(np.median(ratio) - 1.0) < 0.1, f"median std ratio {np.median(ratio)}"
+    # adapted acceptance sits at the 0.234 target
+    acc = float(np.mean(np.asarray(res.accept_trace)[-1000:]))
+    assert 0.15 < acc < 0.35
