@@ -1,0 +1,170 @@
+"""Multi-chain layer: vmapped chains, device sharding, convergence (C9).
+
+Rebuild-only entry point (SURVEY.md §3.5): the reference runs one chain per
+process; here independent chains ``vmap`` within a chip and shard across the
+device mesh (chain parallelism — the data-parallel analog, SURVEY.md §2.2),
+and convergence is quantified with split-R̂ (Gelman-Rubin) and effective
+sample size computed from per-sweep traces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import sampler as sm
+from .parallel.mesh import make_mesh
+
+
+# ---------------------------------------------------------------------------
+# Convergence diagnostics
+# ---------------------------------------------------------------------------
+
+def gelman_rubin(traces) -> float:
+    """Split-R̂ over chain traces ``[n_chains, n_draws]`` (Gelman et al.).
+
+    Each chain is split in half (guards against trending chains), then
+    R̂ = sqrt(((n-1)/n·W + B/n) / W).  Values ≲ 1.01 indicate convergence.
+    """
+    x = np.asarray(traces, dtype=np.float64)
+    if x.ndim != 2:
+        raise ValueError("traces must be [n_chains, n_draws]")
+    m, n = x.shape
+    half = n // 2
+    if half < 2:
+        return float("nan")
+    x = x[:, : 2 * half].reshape(2 * m, half)
+    within = x.var(axis=1, ddof=1).mean()
+    between = half * x.mean(axis=1).var(ddof=1)
+    if within == 0:
+        return 1.0 if between == 0 else float("inf")
+    var_plus = (half - 1) / half * within + between / half
+    return float(np.sqrt(var_plus / within))
+
+
+def effective_sample_size(traces) -> float:
+    """Multi-chain ESS via FFT autocorrelation + Geyer initial monotone
+    sequence (the standard estimator, cf. Stan/ArviZ)."""
+    x = np.asarray(traces, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None]
+    m, n = x.shape
+    if n < 4:
+        return float(m * n)
+    x = x - x.mean(axis=1, keepdims=True)
+    size = 2 ** int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(x, size, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), size, axis=1)[:, :n].real
+    acov /= np.arange(n, 0, -1)  # unbiased normalisation
+    var = acov[:, 0].mean()
+    if var == 0:
+        return float(m * n)
+    rho = acov.mean(axis=0) / var
+    # Geyer: sum consecutive pairs while positive and monotone decreasing
+    tau = 1.0
+    prev = np.inf
+    for t in range(1, n - 1, 2):
+        pair = rho[t] + rho[t + 1]
+        if pair < 0:
+            break
+        pair = min(pair, prev)
+        tau += 2.0 * pair
+        prev = pair
+    return float(m * n / max(tau, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Multi-chain runner
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MultiChainResult:
+    """Batched ChainResult: every leaf has leading axis n_chains."""
+
+    result: sm.ChainResult
+
+    @property
+    def n_chains(self) -> int:
+        return self.result.chi2_trace.shape[0]
+
+    def diagnostics(self, discard_frac: float = 0.0) -> Dict[str, float]:
+        """R̂ and ESS per monitored statistic, from post-burn-in traces."""
+        out: Dict[str, float] = {}
+        start = int(self.result.chi2_trace.shape[1] * discard_frac)
+        for name, tr in (
+            ("chi2", self.result.chi2_trace),
+            ("flux", self.result.flux_trace),
+        ):
+            t = np.asarray(tr)[:, start:]
+            out[f"rhat_{name}"] = gelman_rubin(t)
+            out[f"ess_{name}"] = effective_sample_size(t)
+        mon = np.asarray(self.result.monitor_trace)[:, start:, :]
+        rhats = [gelman_rubin(mon[:, :, k]) for k in range(mon.shape[-1])]
+        rhats = [r for r in rhats if np.isfinite(r)]
+        if rhats:
+            out["rhat_monitor_max"] = float(np.max(rhats))
+            out["rhat_monitor_mean"] = float(np.mean(rhats))
+        return out
+
+    def posterior_mean(self, problem: sm.Problem) -> jax.Array:
+        """Pooled posterior mean over all chains' kept samples."""
+        s = self.result.state
+        total = jnp.sum(s.sum_clean, axis=0)
+        n = jnp.maximum(jnp.sum(s.n_kept), 1.0)
+        return (total / n)[:, : problem.Y, : problem.X]
+
+
+def init_chain_states(
+    problem: sm.Problem, n_chains: int, seed: Optional[int] = None
+) -> sm.SamplerState:
+    """Batched initial state: one shared init, per-chain RNG streams."""
+    state0 = sm.init_state(problem)
+    base = problem.config.seed if seed is None else seed
+    keys = jax.random.split(jax.random.PRNGKey(base), n_chains)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), state0
+    )
+    return dataclasses.replace(batched, key=keys)
+
+
+def run_chains(
+    problem: sm.Problem,
+    n_chains: int,
+    n_sweeps: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    states: Optional[sm.SamplerState] = None,
+    axis_name: str = "chains",
+) -> MultiChainResult:
+    """Run ``n_chains`` independent chains, sharded over the device mesh.
+
+    Chains are pure data parallelism: ``vmap`` makes the batched program,
+    ``NamedSharding`` on the chain axis lets XLA place chains on devices —
+    zero collectives in the hot loop (SURVEY.md §2.2).  With ``mesh=None``
+    and >1 visible device, an all-device 1-D mesh is used when it divides
+    ``n_chains``; pass an explicit mesh for multi-axis setups.
+    """
+    if n_sweeps is None:
+        n_sweeps = problem.config.max_iterations
+    if states is None:
+        states = init_chain_states(problem, n_chains)
+
+    if mesh is None and len(jax.devices()) > 1 and n_chains % len(jax.devices()) == 0:
+        mesh = make_mesh(axis_name=axis_name)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(axis_name))
+        states = jax.device_put(
+            states,
+            jax.tree_util.tree_map(lambda _: sharding, states),
+        )
+
+    batched = jax.jit(
+        jax.vmap(lambda s: sm.run_sweeps(problem, s, n_sweeps)),
+        static_argnums=(),
+    )
+    return MultiChainResult(result=batched(states))

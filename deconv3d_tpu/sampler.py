@@ -70,6 +70,7 @@ class RunConfig:
     max_iterations: int = 1000
     burn_in: Optional[int] = None          # default: max_iterations // 2
     keep_one_in: int = 1                   # thinning of the posterior mean
+    n_monitor: int = 8                     # voxels traced per sweep (for R̂)
     jump_scale: Optional[float] = None     # None → auto from weights
     target_acceptance: float = 0.234       # adaptive-MH target (burn-in only)
     adapt_rate: float = 0.10               # Robbins-Monro step for log-scale
@@ -112,6 +113,7 @@ class Problem:
     w_pad: jax.Array = None                 # [L, Hp, Wp] (1/variance, 0 in pads)
     quad: jax.Array = None                  # [L, Yc, Xc]  Σ_{dy,dx} F² w  per spaxel
     valid: jax.Array = None                 # [Yc, Xc] bool (unmasked & on-grid)
+    monitor_idx: jax.Array = None           # [K] flat indices into clean, traced
     config: RunConfig = dataclasses.field(
         default_factory=RunConfig, metadata=dict(static=True)
     )
@@ -171,6 +173,7 @@ class ChainResult:
     chi2_trace: jax.Array        # [n_sweeps]
     accept_trace: jax.Array      # [n_sweeps] sweep acceptance rate
     flux_trace: jax.Array        # [n_sweeps] Σ clean over valid spaxels
+    monitor_trace: jax.Array     # [n_sweeps, K] monitored clean voxels
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +228,18 @@ def make_problem(
     # random-walk (SURVEY.md §2 "Masking").
     valid &= quad.sum(axis=0) > 0
 
+    # deterministic set of monitored voxels (for per-parameter R̂, C9):
+    # spread across valid spaxels and the spectral axis.
+    k = max(1, config.n_monitor)
+    vy, vx = np.nonzero(valid)
+    mon_rng = np.random.default_rng(config.seed + 7919)
+    if len(vy) == 0:
+        monitor = np.zeros(k, dtype=np.int32)
+    else:
+        pick = mon_rng.choice(len(vy), size=k, replace=len(vy) < k)
+        lam_pick = mon_rng.integers(0, L, size=k)
+        monitor = (lam_pick * Yc * Xc + vy[pick] * Xc + vx[pick]).astype(np.int32)
+
     return Problem(
         L=L, Y=Y, X=X, f=f, ny=ny, nx=nx,
         fsf=jnp.asarray(fsf_np, dtype=dtype),
@@ -233,6 +248,7 @@ def make_problem(
         w_pad=jnp.asarray(w_pad, dtype=dtype),
         quad=jnp.asarray(quad, dtype=dtype),
         valid=jnp.asarray(valid),
+        monitor_idx=jnp.asarray(monitor),
         config=config,
     )
 
@@ -451,6 +467,7 @@ def _make_sweep(p: Problem):
             chi2,
             acc / jnp.maximum(nprop, 1.0),
             jnp.sum(clean * validf[None], dtype=jnp.float32),
+            clean.reshape(-1)[p.monitor_idx],
         )
         return state, trace
 
@@ -476,11 +493,12 @@ def run_sweeps(
     keep = jnp.where(
         ~in_burn & ((idx - burn) % cfg.keep_one_in == 0), 1.0, 0.0
     ).astype(jnp.float32)
-    state, (chi2_t, acc_t, flux_t) = jax.lax.scan(
+    state, (chi2_t, acc_t, flux_t, mon_t) = jax.lax.scan(
         sweep, state, (adapt, keep)
     )
     return ChainResult(
-        state=state, chi2_trace=chi2_t, accept_trace=acc_t, flux_trace=flux_t
+        state=state, chi2_trace=chi2_t, accept_trace=acc_t, flux_trace=flux_t,
+        monitor_trace=mon_t,
     )
 
 

@@ -14,13 +14,13 @@ from deconv3d_tpu import convolve as cv
 
 
 def _make_toy(rng, L=16, Y=6, X=6, fsf_size=5, lsf_width=5, noise=0.1,
-              mask=None, dtype=np.float64):
+              mask=None, dtype=np.float64, fsf_fwhm=0.5, lsf_fwhm=2.0):
     """Synthetic emission-line cube + instrument (BASELINE config-1 style)."""
     truth = np.zeros((L, Y, X))
     truth[L // 2, Y // 2, X // 2] = 5.0
     truth[L // 3, 1, 1] = 3.0
     inst = ins.Instrument(
-        fsf=ins.GaussianFSF(fwhm=0.5), lsf=ins.GaussianLSF(fwhm=2.0),
+        fsf=ins.GaussianFSF(fwhm=fsf_fwhm), lsf=ins.GaussianLSF(fwhm=lsf_fwhm),
         pixel_scale=0.2,
     )
     cube0 = Cube.from_data(truth, crval=4750.0, cdelt=1.25, dtype=dtype)
