@@ -1,0 +1,73 @@
+"""Headline benchmark: Gibbs sweeps/sec on a MUSE 30×30×600 subcube.
+
+BASELINE.md: target ≥100 full Gibbs sweeps/sec (v5e-8); secondary metric
+spaxel proposals/sec/chip.  This script runs on whatever single chip the
+driver provides and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is value / 100 (the BASELINE.json target), measured on one chip —
+the target is defined for an 8-chip slice, so >1.0 on a single chip beats it
+outright.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from deconv3d_tpu import Cube, instruments as ins, sampler as sm
+
+    L, Y, X = 600, 30, 30
+    rng = np.random.default_rng(0)
+    # synthetic MUSE-like subcube: a couple of emission-line sources + noise
+    truth = np.zeros((L, Y, X), np.float32)
+    truth[300, 15, 15] = 50.0
+    truth[200, 8, 20] = 30.0
+    noise = 1.0
+    data = truth + noise * rng.standard_normal((L, Y, X)).astype(np.float32)
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, noise**2), crval=4750.0, cdelt=1.25
+    )
+    inst = ins.MUSE()  # Moffat FSF + MUSE LSF (BASELINE config #2)
+    cfg = sm.RunConfig(max_iterations=10_000, burn_in=500, seed=0)
+    problem = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(problem)
+
+    # warmup: compile + let adaptation settle
+    res = sm.run_sweeps(problem, state, 50)
+    jax.block_until_ready(res.state.clean)
+
+    n_bench = 200
+    res = sm.run_sweeps(problem, res.state, n_bench)  # compile this length
+    jax.block_until_ready(res.state.clean)
+    t0 = time.perf_counter()
+    res = sm.run_sweeps(problem, res.state, n_bench)
+    jax.block_until_ready(res.state.clean)
+    dt = time.perf_counter() - t0
+
+    sweeps_per_sec = n_bench / dt
+    proposals_per_sec = sweeps_per_sec * problem.n_valid
+    result = {
+        "metric": "gibbs_sweeps_per_sec_muse_30x30x600",
+        "value": round(sweeps_per_sec, 2),
+        "unit": "sweeps/s",
+        "vs_baseline": round(sweeps_per_sec / 100.0, 3),
+        "proposals_per_sec_per_chip": round(proposals_per_sec, 0),
+        "n_devices": len(jax.devices()),
+        "device": str(jax.devices()[0]),
+        "footprint": problem.f,
+        "acceptance": round(
+            float(res.state.n_accept / res.state.n_propose), 4
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,14 +24,9 @@ from .instruments import (
     MoffatFSF, GaussianFSF, NoFSF, MUSELSF, GaussianLSF, NoLSF,
 )
 from .convolve import convolve_cube
-
-# TODO(round 1, temporary): sampler/chains/run land in the next commits.
-try:
-    from .sampler import RunConfig, SamplerState, init_state, run_sweeps, ChainResult
-    from .chains import MultiChainResult, gelman_rubin, run_chains
-    from .run import Run
-except ImportError:  # pragma: no cover
-    pass
+from .sampler import RunConfig, SamplerState, init_state, run_sweeps, ChainResult
+from .chains import MultiChainResult, gelman_rubin, run_chains
+from .run import Run
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,49 @@
+"""Checkpoint / resume of sampler state (SURVEY.md §5.3–5.4).
+
+The reference only persists at end-of-run (``run.save()``); a crash loses
+everything.  Here the full sampler state — including the RNG key — is a
+pytree, so a checkpoint is a complete, bit-exact resume point: a run
+resumed from sweep k produces the identical chain to an uninterrupted run
+(guaranteed by test_sampler.test_segmented_equals_single_run +
+test_checkpoint roundtrips).
+
+Format: a single NPZ holding the flattened pytree leaves plus a treedef
+fingerprint; small, portable, no orbax dependency in the core path.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from .sampler import SamplerState
+
+
+def save_state(path: str, state: SamplerState, meta: dict | None = None) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    payload["treedef"] = np.array(str(treedef))
+    payload["meta"] = np.array(json.dumps(meta or {}))
+    np.savez(path, **payload)
+
+
+def load_state(path: str, like: SamplerState) -> Tuple[SamplerState, dict]:
+    """Restore state into the structure of ``like`` (shape/dtype template)."""
+    with np.load(path) as z:
+        like_leaves, treedef = jax.tree_util.tree_flatten(like)
+        if str(treedef) != str(z["treedef"]):
+            raise ValueError(
+                f"checkpoint treedef mismatch: {z['treedef']} vs {treedef}"
+            )
+        n = len(like_leaves)
+        leaves = [z[f"leaf_{i}"] for i in range(n)]
+        for i, (got, want) in enumerate(zip(leaves, like_leaves)):
+            if got.shape != want.shape:
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {got.shape} != {want.shape}"
+                )
+        meta = json.loads(str(z["meta"]))
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta

@@ -1,0 +1,307 @@
+"""``Run`` — the reference-compatible user facade (SURVEY.md §1.2, §3).
+
+Mirrors the reference's public surface (reference: deconv3d's ``Run`` class
+— constructor kwargs, ``run()``, ``save(name)``, plotting helpers; SURVEY.md
+§2 "Sampler (Run)") on top of the functional TPU core:
+
+    from deconv3d_tpu import Run, MUSE
+    run = Run('cube.fits', MUSE(), max_iterations=10_000)
+    run.run()
+    run.save('my_deconv')
+
+Differences from the reference, by design:
+  * ``max_iterations`` counts full Gibbs sweeps (all spaxels), not single
+    spaxel visits — one sweep ≡ Y·X reference iterations.
+  * ``n_chains`` runs parallel chains across TPU cores with Gelman-Rubin
+    convergence diagnostics built in (rebuild-only capability, C9).
+  * mid-run checkpointing gives bit-exact resume (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from . import chains as ch
+from . import checkpoint as ckpt
+from . import convolve as cv
+from . import sampler as sm
+from .cube import Cube
+from .instruments import Instrument, MUSE
+from .metrics import MetricsWriter, logger
+
+
+class Run:
+    """One deconvolution run: cube + instrument + sampler configuration."""
+
+    def __init__(
+        self,
+        cube,
+        instrument: Optional[Instrument] = None,
+        variance=None,
+        mask=None,
+        max_iterations: int = 1000,
+        burn_in: Optional[int] = None,
+        keep_one_in: int = 1,
+        jump_amplitude: Optional[float] = None,
+        target_acceptance: float = 0.234,
+        min_acceptance_rate: float = 0.01,
+        positivity: bool = False,
+        initial: str = "zeros",
+        seed: int = 0,
+        fsf_size: Optional[int] = None,
+        lsf_width: Optional[int] = None,
+        n_chains: int = 1,
+        mesh=None,
+        segment_size: Optional[int] = None,
+        metrics_path: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        dtype=np.float32,
+    ):
+        if isinstance(cube, str):
+            cube = (
+                Cube.from_npz(cube) if cube.endswith(".npz")
+                else Cube.from_fits(cube)
+            )
+        if variance is not None or mask is not None:
+            cube = dataclasses.replace(
+                cube,
+                variance=cube.variance if variance is None
+                else jax.numpy.asarray(variance, dtype=dtype),
+                mask=cube.mask if mask is None
+                else jax.numpy.asarray(mask, dtype=bool),
+            )
+        self.cube = cube
+        self.instrument = instrument or MUSE()
+        self.n_chains = int(n_chains)
+        self.mesh = mesh
+        self.min_acceptance_rate = min_acceptance_rate
+        self.segment_size = segment_size
+        self.metrics_path = metrics_path
+        self.checkpoint_path = checkpoint_path
+
+        self.config = sm.RunConfig(
+            max_iterations=max_iterations,
+            burn_in=burn_in,
+            keep_one_in=keep_one_in,
+            jump_scale=jump_amplitude,
+            target_acceptance=target_acceptance,
+            positivity=positivity,
+            initial=initial,
+            fsf_size=fsf_size,
+            lsf_width=lsf_width,
+            seed=seed,
+            dtype=dtype,
+        )
+        self.problem = sm.make_problem(cube, self.instrument, self.config)
+        self.states = ch.init_chain_states(self.problem, self.n_chains)
+        # host-side trace accumulators [n_chains, total_sweeps]
+        self._traces = {"chi2": [], "accept": [], "flux": [], "monitor": []}
+        self._last_result: Optional[ch.MultiChainResult] = None
+
+    # -- execution -----------------------------------------------------------
+
+    @property
+    def sweeps_done(self) -> int:
+        return int(np.asarray(self.states.sweep).ravel()[0])
+
+    def run(self, n_sweeps: Optional[int] = None) -> "Run":
+        """Execute the MCMC (segmented host loop around the jitted scan)."""
+        total = self.config.max_iterations if n_sweeps is None else n_sweeps
+        seg = self.segment_size or max(1, min(total, 1000))
+        writer = MetricsWriter(self.metrics_path)
+        done = 0
+        t_start = time.time()
+        while done < total:
+            n = min(seg, total - done)
+            t0 = time.time()
+            mc = ch.run_chains(
+                self.problem, self.n_chains, n_sweeps=n,
+                mesh=self.mesh, states=self.states,
+            )
+            self.states = mc.result.state
+            jax.block_until_ready(self.states.chi2)
+            dt = time.time() - t0
+            done += n
+            self._last_result = mc
+            self._traces["chi2"].append(np.asarray(mc.result.chi2_trace))
+            self._traces["accept"].append(np.asarray(mc.result.accept_trace))
+            self._traces["flux"].append(np.asarray(mc.result.flux_trace))
+            self._traces["monitor"].append(np.asarray(mc.result.monitor_trace))
+            writer.write(
+                sweep=self.sweeps_done,
+                chi2=float(np.asarray(self.states.chi2).mean()),
+                acceptance=self.acceptance_rate,
+                sweeps_per_sec=round(n / dt, 2),
+                proposals_per_sec=round(
+                    n * self.problem.n_valid * self.n_chains / dt, 1
+                ),
+            )
+            if self.checkpoint_path:
+                ckpt.save_state(
+                    self.checkpoint_path, self.states,
+                    meta={"sweeps_done": self.sweeps_done},
+                )
+        writer.close()
+        wall = time.time() - t_start
+        logger.info("run finished: %d sweeps in %.2fs", total, wall)
+        acc = self.acceptance_rate
+        if acc < self.min_acceptance_rate:
+            logger.warning(
+                "acceptance rate %.4f below min_acceptance_rate %.4f — "
+                "jump amplitude is likely mistuned", acc, self.min_acceptance_rate,
+            )
+        return self
+
+    def resume(self, path: Optional[str] = None) -> "Run":
+        """Load a checkpoint written by this configuration (bit-exact)."""
+        path = path or self.checkpoint_path
+        if path is None:
+            raise ValueError("no checkpoint path given")
+        self.states, meta = ckpt.load_state(path, self.states)
+        logger.info("resumed at sweep %s", meta.get("sweeps_done"))
+        return self
+
+    # -- results -------------------------------------------------------------
+
+    def trace(self, name: str) -> np.ndarray:
+        """Concatenated per-sweep trace [n_chains, sweeps_done(, k)]."""
+        parts = self._traces[name]
+        if not parts:
+            raise ValueError("run() has not been called")
+        return np.concatenate(parts, axis=1)
+
+    @property
+    def chi2(self) -> float:
+        return float(np.asarray(self.states.chi2).mean())
+
+    @property
+    def acceptance_rate(self) -> float:
+        acc = np.asarray(self.states.n_accept).sum()
+        nprop = np.asarray(self.states.n_propose).sum()
+        return float(acc / max(nprop, 1.0))
+
+    def deconvolved_cube(self) -> Cube:
+        """Posterior-mean clean cube (pooled over chains)."""
+        p = self.problem
+        s = self.states
+        total = np.asarray(s.sum_clean).sum(axis=0)
+        n = max(float(np.asarray(s.n_kept).sum()), 1.0)
+        mean = (total / n)[:, : p.Y, : p.X]
+        std = self._posterior_std()
+        return Cube.from_data(
+            mean, variance=std**2, crval=self.cube.crval,
+            cdelt=self.cube.cdelt, crpix=self.cube.crpix,
+            dtype=self.config.dtype,
+        )
+
+    def _posterior_std(self) -> np.ndarray:
+        p, s = self.problem, self.states
+        n = max(float(np.asarray(s.n_kept).sum()), 1.0)
+        mean = np.asarray(s.sum_clean).sum(axis=0) / n
+        var = np.maximum(np.asarray(s.sum_sq).sum(axis=0) / n - mean**2, 0.0)
+        return np.sqrt(var)[:, : p.Y, : p.X]
+
+    def convolved_cube(self) -> Cube:
+        """Forward model of the posterior mean (the fitted 'observed' cube)."""
+        mean = self.deconvolved_cube()
+        out = cv.convolve_cube(mean.data, self.problem.fsf, self.problem.lsf)
+        return dataclasses.replace(mean, data=out, variance=None)
+
+    def diagnostics(self) -> dict:
+        """R̂/ESS over post-burn-in traces (multi-chain only)."""
+        out = {
+            "chi2": self.chi2,
+            "acceptance_rate": self.acceptance_rate,
+            "sweeps": self.sweeps_done,
+            "n_chains": self.n_chains,
+        }
+        if self.n_chains >= 2 and self._traces["chi2"]:
+            burn = self.config.resolved_burn_in()
+            chi2_t = self.trace("chi2")
+            start = min(burn, chi2_t.shape[1] - 2)
+            out["rhat_chi2"] = ch.gelman_rubin(chi2_t[:, start:])
+            out["ess_chi2"] = ch.effective_sample_size(chi2_t[:, start:])
+            mon = self.trace("monitor")[:, start:, :]
+            rhats = [
+                ch.gelman_rubin(mon[:, :, k]) for k in range(mon.shape[-1])
+            ]
+            rhats = [r for r in rhats if np.isfinite(r)]
+            if rhats:
+                out["rhat_monitor_max"] = float(np.max(rhats))
+        return out
+
+    # -- persistence (reference parity: Run.save, SURVEY.md §3.4) ------------
+
+    def save(self, name: str, plots: bool = False) -> None:
+        """Write FITS products + chain statistics (+ optional PNG plots).
+
+        Products:  {name}_clean.fits      posterior-mean deconvolved cube
+                   {name}_std.fits        posterior std cube
+                   {name}_convolved.fits  forward model of the mean
+                   {name}_traces.npz      chi²/acceptance/flux traces
+                   {name}_stats.json      summary + convergence diagnostics
+        """
+        clean = self.deconvolved_cube()
+        clean.to_fits(f"{name}_clean.fits")
+        Cube.from_data(
+            self._posterior_std(), crval=self.cube.crval,
+            cdelt=self.cube.cdelt, crpix=self.cube.crpix,
+        ).to_fits(f"{name}_std.fits")
+        self.convolved_cube().to_fits(f"{name}_convolved.fits")
+        if self._traces["chi2"]:
+            np.savez(
+                f"{name}_traces.npz",
+                chi2=self.trace("chi2"),
+                acceptance=self.trace("accept"),
+                flux=self.trace("flux"),
+                monitor=self.trace("monitor"),
+            )
+        with open(f"{name}_stats.json", "w") as fh:
+            json.dump(self.diagnostics(), fh, indent=2, default=float)
+        if plots:
+            self.plot_chi2(f"{name}_chi2.png")
+            self.plot_images(f"{name}_images.png")
+
+    def plot_chi2(self, path: str) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 4))
+        for c, tr in enumerate(self.trace("chi2")):
+            ax.plot(tr, lw=0.8, label=f"chain {c}" if c < 8 else None)
+        ax.set_xlabel("sweep")
+        ax.set_ylabel("chi²")
+        ax.set_yscale("log")
+        ax.legend(loc="upper right", fontsize=7)
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+
+    def plot_images(self, path: str) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        data_img = np.nansum(np.asarray(self.cube.data), axis=0)
+        clean_img = np.asarray(self.deconvolved_cube().data).sum(axis=0)
+        conv_img = np.asarray(self.convolved_cube().data).sum(axis=0)
+        fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+        for ax, img, title in zip(
+            axes, (data_img, clean_img, conv_img),
+            ("data (Σλ)", "deconvolved (Σλ)", "model (Σλ)"),
+        ):
+            im = ax.imshow(img, origin="lower")
+            ax.set_title(title)
+            fig.colorbar(im, ax=ax, shrink=0.8)
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)

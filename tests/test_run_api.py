@@ -1,0 +1,157 @@
+"""Run facade + checkpoint/metrics tests (reference API parity, SURVEY §3)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from deconv3d_tpu import Cube, Run
+from deconv3d_tpu import checkpoint as ckpt
+from deconv3d_tpu import instruments as ins
+from deconv3d_tpu import sampler as sm
+from test_sampler import _make_toy
+
+
+@pytest.fixture
+def toy_run(rng):
+    cube, inst, truth = _make_toy(rng, noise=0.2)
+    return Run(
+        cube, inst, max_iterations=60, burn_in=20, seed=3,
+        fsf_size=5, lsf_width=5, dtype=np.float64,
+    ), truth
+
+
+def test_run_basic(toy_run):
+    run, _ = toy_run
+    run.run()
+    assert run.sweeps_done == 60
+    assert run.chi2 > 0
+    assert 0.0 < run.acceptance_rate < 1.0
+    dec = run.deconvolved_cube()
+    assert dec.shape == run.cube.shape
+    conv = run.convolved_cube()
+    assert conv.shape == run.cube.shape
+    assert run.trace("chi2").shape == (1, 60)
+
+
+def test_run_recovers_signal(rng):
+    """End-to-end config-1 style: recovered cube concentrates flux at truth."""
+    cube, inst, truth = _make_toy(
+        rng, noise=0.05, fsf_fwhm=0.3, lsf_fwhm=1.2,
+    )
+    run = Run(cube, inst, max_iterations=400, burn_in=150, seed=1,
+              fsf_size=5, lsf_width=5, dtype=np.float64)
+    run.run()
+    mean = np.asarray(run.deconvolved_cube().data)
+    # brightest recovered voxel is the injected one
+    assert np.unravel_index(np.abs(mean).argmax(), mean.shape) == (8, 3, 3)
+    # chi2/dof is sane
+    dof = truth.size
+    assert run.chi2 / dof < 2.0
+
+
+def test_run_from_fits_path(tmp_path, rng):
+    cube, inst, _ = _make_toy(rng)
+    path = str(tmp_path / "in.fits")
+    cube.to_fits(path)
+    run = Run(path, inst, max_iterations=10, fsf_size=5, lsf_width=5,
+              dtype=np.float64)
+    run.run()
+    assert run.sweeps_done == 10
+
+
+def test_run_save_products(tmp_path, toy_run):
+    run, _ = toy_run
+    run.run()
+    base = str(tmp_path / "out")
+    run.save(base, plots=True)
+    for suffix in ("_clean.fits", "_std.fits", "_convolved.fits",
+                   "_traces.npz", "_stats.json", "_chi2.png", "_images.png"):
+        assert os.path.exists(base + suffix), f"missing {suffix}"
+    back = Cube.from_fits(base + "_clean.fits")
+    assert back.shape == run.cube.shape
+    stats = json.load(open(base + "_stats.json"))
+    assert stats["sweeps"] == 60
+    z = np.load(base + "_traces.npz")
+    assert z["chi2"].shape == (1, 60)
+
+
+def test_run_segmented_equals_monolithic(rng):
+    cube, inst, _ = _make_toy(rng)
+    kw = dict(max_iterations=40, burn_in=10, seed=5, fsf_size=5,
+              lsf_width=5, dtype=np.float64)
+    a = Run(cube, inst, segment_size=7, **kw).run()
+    b = Run(cube, inst, **kw).run()
+    np.testing.assert_array_equal(
+        np.asarray(a.states.clean), np.asarray(b.states.clean)
+    )
+    np.testing.assert_array_equal(a.trace("chi2"), b.trace("chi2"))
+
+
+def test_checkpoint_resume_bit_exact(tmp_path, rng):
+    cube, inst, _ = _make_toy(rng)
+    kw = dict(max_iterations=30, burn_in=10, seed=9, fsf_size=5,
+              lsf_width=5, dtype=np.float64)
+    path = str(tmp_path / "ck.npz")
+
+    full = Run(cube, inst, **kw).run(30)
+
+    first = Run(cube, inst, checkpoint_path=path, **kw)
+    first.run(15)
+    # simulate a fresh process: new Run object, resume from checkpoint
+    second = Run(cube, inst, checkpoint_path=path, **kw).resume()
+    assert second.sweeps_done == 15
+    second.run(15)
+    np.testing.assert_array_equal(
+        np.asarray(full.states.clean), np.asarray(second.states.clean)
+    )
+
+
+def test_checkpoint_rejects_shape_mismatch(tmp_path, rng):
+    cube, inst, _ = _make_toy(rng)
+    cfg = sm.RunConfig(max_iterations=5, dtype=np.float64, fsf_size=5,
+                       lsf_width=5)
+    p = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(p)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_state(path, state)
+
+    cube2, inst2, _ = _make_toy(rng, Y=12, X=12)
+    p2 = sm.make_problem(cube2, inst2, cfg)
+    with pytest.raises(ValueError):
+        ckpt.load_state(path, sm.init_state(p2))
+
+
+def test_run_multichain_diagnostics(rng):
+    cube, inst, _ = _make_toy(rng, L=8, fsf_fwhm=0.25, lsf_fwhm=1.0)
+    run = Run(cube, inst, max_iterations=200, burn_in=50, seed=2,
+              n_chains=4, fsf_size=5, lsf_width=5, dtype=np.float64)
+    run.run()
+    d = run.diagnostics()
+    assert d["n_chains"] == 4
+    assert "rhat_chi2" in d and np.isfinite(d["rhat_chi2"])
+    assert run.trace("chi2").shape == (4, 200)
+
+
+def test_run_metrics_jsonl(tmp_path, rng):
+    cube, inst, _ = _make_toy(rng)
+    mpath = str(tmp_path / "metrics.jsonl")
+    run = Run(cube, inst, max_iterations=20, segment_size=10, seed=1,
+              metrics_path=mpath, fsf_size=5, lsf_width=5, dtype=np.float64)
+    run.run()
+    lines = [json.loads(l) for l in open(mpath)]
+    assert len(lines) == 2
+    assert lines[-1]["sweep"] == 20
+    assert "sweeps_per_sec" in lines[-1]
+
+
+def test_run_variance_mask_override(rng):
+    cube, inst, _ = _make_toy(rng)
+    mask = np.zeros((6, 6), dtype=bool)
+    mask[1, 1] = True
+    var = np.full(cube.shape, 0.5)
+    run = Run(cube, inst, variance=var, mask=mask, max_iterations=10,
+              fsf_size=5, lsf_width=5, dtype=np.float64)
+    run.run()
+    assert (np.asarray(run.states.clean)[:, :, 1, 1] == 0).all()
