@@ -1,0 +1,455 @@
+"""Fused whole-sweep Pallas kernel — the TPU hot path (SURVEY.md §7.5).
+
+One ``pallas_call`` executes an entire segment of Gibbs sweeps with the
+residual cube resident in VMEM: grid = (sweeps, colors), sequential on the
+TPU core, zero HBM traffic for the residual inside the segment.  Everything
+the pure-jnp engine does per color step (sampler._make_color_step) happens
+here in one fused body:
+
+  * per-color RNG with the hardware PRNG (seeded from (base_seed, sweep,
+    color) -> deterministic, resumable),
+  * Cauchy proposals via tan, adaptive per-spaxel log-scales,
+  * the incremental delta-chi2 (C4) as MXU matmuls against the low-rank FSF
+    factor matrix B [S, f^2] (see ops/fsf_factor.py),
+  * branchless accept + in-place residual patch update.
+
+Per-(sweep, color) outputs (accepted jumps, accept counts, delta-chi2)
+stream to HBM through grid-indexed blocks; the clean cube, posterior
+accumulators, chi2 trace and monitor trace are reconstructed outside the
+kernel by a cheap jitted scan — bit-exactly, since the kernel emits every
+accepted jump.
+
+Mosaic constraints shape three design points (all learned the hard way):
+  * vector/DMA slices on tiled dims need 8-aligned offsets -> color blocks
+    are read as aligned wide slabs and shifted in-register with a dynamic
+    ``pltpu.roll`` (writes go back the same way: roll the update, subtract
+    on the full slab).
+  * dynamic lane indexing is not lowerable -> per-color scale/valid lookups
+    are one-hot contractions over the lane axis.
+  * lambda lives on lanes (padded to 128) so every per-lambda op is
+    lane-parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import sampler as sm
+
+_LANE = 128
+_CAUCHY_CLIP = 1.0e3
+
+
+def _pad_lanes(n: int) -> int:
+    return -(-n // _LANE) * _LANE
+
+
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _geometry(f: int, ny: int, nx: int):
+    """Aligned-slab geometry: wide width W8 covers any cx in [0,f) from an
+    8-aligned start; Wpa is the padded x extent holding the widest slab."""
+    BY, BX = ny * f, nx * f
+    W8 = _round8(BX + 8)
+    Wpa = 8 * ((f - 1) // 8) + W8
+    return BY, BX, W8, Wpa
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
+    nij = ny * nx
+    BY, BX, W8, _ = _geometry(f, ny, nx)
+    half = lw // 2
+    n_chunks = Lp // chunk
+    n_colors = f * f
+
+    def kernel(
+        seed_ref, adapt_ref, B_ref, spec_ref, lsfT_ref, valid_ref,
+        quadc_ref, ls_in_ref, resid_in_ref, w_ref,
+        dclean_ref, accn_ref, dchia_ref, resid_out_ref, ls_ref,
+        resid_vmem, sem_io,
+    ):
+        s = pl.program_id(0)
+        c = pl.program_id(1)
+        n_sweeps = pl.num_programs(0)
+
+        @pl.when((s == 0) & (c == 0))
+        def _init():
+            dma = pltpu.make_async_copy(resid_in_ref, resid_vmem, sem_io)
+            dma.start()
+            dma.wait()
+            ls_ref[:, :] = ls_in_ref[:, :]
+
+        cy = c // f
+        cx = c % f
+        start8 = pl.multiple_of(8 * (cx // 8), 8)
+        sh = cx - start8                                     # in [0, 8)
+
+        # ------- per-color lookups: one-hot over the lane (color) axis -----
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n_colors), 1) == c
+        ).astype(jnp.float32)                                # [1, n_colors]
+        ls_c = jnp.sum(ls_ref[:, :] * onehot, axis=1, keepdims=True)
+        vmask = jnp.sum(valid_ref[:, :] * onehot, axis=1, keepdims=True)
+
+        # ------- RNG: uniforms u in {(2k+1)*2^-25} subset (0,1), never 0.5 -
+        pltpu.prng_seed(seed_ref[0] + s * n_colors + c)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((nij, Lp)), jnp.uint32)
+        # top 24 bits → int32 (positive) → f32: Mosaic lacks uint32→f32
+        u = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32).astype(
+            jnp.float32
+        ) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
+
+        lam_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (nij, Lp), 1) < L
+        ).astype(jnp.float32)
+        draw = jnp.clip(
+            jnp.tan(jnp.float32(np.pi) * (u - 0.5)),
+            -_CAUCHY_CLIP, _CAUCHY_CLIP,
+        )
+        jumps = jnp.exp(ls_c) * draw * vmask * lam_ok        # [nij, Lp]
+
+        # ------- spectral stage of the delta: g = LSF (*) jumps (banded) ---
+        jp = jnp.pad(jumps, ((0, 0), (lw, lw)))
+        g = jnp.zeros((nij, Lp), jnp.float32)
+        for d in range(lw):
+            g = g + lsfT_ref[d, :] * jp[:, lw + d - half : lw + d - half + Lp]
+
+        # ------- pass 1: lin[ij, lam] = sum_s spec * (B @ patches) ---------
+        quad_c = quadc_ref[:, :, :].reshape(nij, Lp)
+        lin_parts = []
+        for k in range(n_chunks):
+            lo = k * chunk
+            rsl = resid_vmem[pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)]
+            wsl = w_ref[pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)]
+            rw_wide = rsl * wsl.astype(jnp.float32)          # [BY, W8, ck]
+            rw = pltpu.roll(rw_wide, -sh, axis=1)[:, :BX, :]
+            rwp = (
+                rw.reshape(ny, f, nx, f, chunk)
+                .transpose(1, 3, 0, 2, 4)
+                .reshape(f * f, nij * chunk)
+            )
+            linS = jnp.dot(
+                B_ref[:, :], rwp, preferred_element_type=jnp.float32
+            ).reshape(S, nij, chunk)
+            spec_c = spec_ref[:, pl.ds(lo, chunk)]           # [S, ck]
+            lin_parts.append(jnp.sum(linS * spec_c[:, None, :], axis=0))
+        lin = jnp.concatenate(lin_parts, axis=1)             # [nij, Lp]
+
+        dchi_vec = g * g * quad_c - 2.0 * g * lin
+        dchi = jnp.sum(dchi_vec, axis=1, keepdims=True)      # [nij, 1]
+
+        # ------- branchless Metropolis accept -------------------------------
+        bits2 = pltpu.bitcast(
+            pltpu.prng_random_bits((nij, _LANE)), jnp.uint32
+        )
+        u2 = pltpu.bitcast(bits2 >> jnp.uint32(8), jnp.int32).astype(
+            jnp.float32
+        ) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
+        accf = jnp.where(
+            (jnp.log(u2[:, 0:1]) < -0.5 * dchi) & (vmask > 0), 1.0, 0.0
+        )                                                    # [nij, 1]
+
+        # ------- commit: roll the update into place, subtract on the slab --
+        gacc = g * accf                                      # [nij, Lp]
+        for k in range(n_chunks):
+            lo = k * chunk
+            spec_c = spec_ref[:, pl.ds(lo, chunk)]
+            P = (spec_c[:, None, :] * gacc[None, :, lo : lo + chunk]).reshape(
+                S, nij * chunk
+            )
+            dP = jnp.dot(
+                B_ref[:, :].T, P, preferred_element_type=jnp.float32
+            )                                                # [f^2, nij*ck]
+            delta = (
+                dP.reshape(f, f, ny, nx, chunk)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(BY, BX, chunk)
+            )
+            delta_wide = pltpu.roll(
+                jnp.pad(delta, ((0, 0), (0, W8 - BX), (0, 0))), sh, axis=1
+            )
+            cur = resid_vmem[
+                pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)
+            ]
+            resid_vmem[
+                pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)
+            ] = cur - delta_wide
+
+        # ------- outputs + adaptive scale -----------------------------------
+        dclean_ref[:, :, :, :] = (jumps * accf).reshape(1, 1, 1, nij * Lp)
+        accn_ref[0, 0, 0, 0] = jnp.sum(accf)
+        dchia_ref[0, 0, 0, 0] = jnp.sum(dchi * accf)
+        new_ls = ls_c + adapt_ref[s, 0] * (accf - target) * vmask  # [nij,1]
+        ls_ref[:, :] = jnp.where(onehot > 0, new_ls, ls_ref[:, :])
+
+        @pl.when((s == n_sweeps - 1) & (c == n_colors - 1))
+        def _finish():
+            dma = pltpu.make_async_copy(resid_vmem, resid_out_ref, sem_io)
+            dma.start()
+            dma.wait()
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-facing wrapper: one kernel segment
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
+    """Run n_sweeps inside one pallas_call; returns raw per-(s,c) outputs."""
+    p = problem
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    nij = ny * nx
+    Lp = _pad_lanes(L)
+    lw = int(p.lsf.shape[1])
+    S = int(p.fsf_spec.shape[0])
+    n_colors = f * f
+    BY, BX, W8, Wpa = _geometry(f, ny, nx)
+    Hp = p.Hp
+    interpret = jax.default_backend() != "tpu"
+
+    resid_k, ls_k, seed = carry
+
+    B = p.fsf_imgs.reshape(S, f * f).astype(jnp.float32)
+    spec = jnp.zeros((S, Lp), jnp.float32).at[:, :L].set(
+        p.fsf_spec.astype(jnp.float32)
+    )
+    lsfT = jnp.zeros((lw, Lp), jnp.float32).at[:, :L].set(
+        p.lsf.T.astype(jnp.float32)
+    )
+    valid_k = _to_color_layout(p.valid.astype(jnp.float32), ny, nx, f)
+    quad_k = _quad_layout(p.quad.astype(jnp.float32), ny, nx, f, L, Lp)
+    w_k = _pad_x(
+        _cube_layout(p.w_pad, Lp), Wpa - p.Wp
+    ).astype(jnp.bfloat16)
+
+    kernel = _make_kernel(
+        f=f, ny=ny, nx=nx, L=L, Lp=Lp, lw=lw, S=S,
+        target=float(p.config.target_acceptance),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_sweeps, n_colors, 1, nij * Lp), jnp.float32),
+        jax.ShapeDtypeStruct((n_sweeps, n_colors, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_sweeps, n_colors, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Hp, Wpa, Lp), jnp.float32),
+        jax.ShapeDtypeStruct((nij, n_colors), jnp.float32),
+    )
+    grid = (n_sweeps, n_colors)
+    dclean, accn, dchia, resid_out, ls_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # adapt
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # B
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # spec
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # lsfT
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # valid
+            pl.BlockSpec((1, 1, nij * Lp), lambda s, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),                    # quad
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # ls_in
+            pl.BlockSpec(memory_space=pltpu.ANY),                     # resid_in
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, nij * Lp), lambda s, c: (s, c, 0, 0),
+                         memory_space=pltpu.VMEM),                    # dclean
+            pl.BlockSpec((1, 1, 1, 1), lambda s, c: (s, c, 0, 0),
+                         memory_space=pltpu.SMEM),                    # accn
+            pl.BlockSpec((1, 1, 1, 1), lambda s, c: (s, c, 0, 0),
+                         memory_space=pltpu.SMEM),                    # dchia
+            pl.BlockSpec(memory_space=pltpu.ANY),                     # resid_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # ls_out
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((Hp, Wpa, Lp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        jnp.reshape(seed, (1,)).astype(jnp.int32),
+        adapt.astype(jnp.float32).reshape(n_sweeps, 1),
+        B, spec, lsfT, valid_k, quad_k, ls_k, resid_k, w_k,
+    )
+    new_seed = seed + n_sweeps * n_colors
+    dclean = dclean.reshape(n_sweeps, n_colors, nij * Lp)
+    accn = accn.reshape(n_sweeps, n_colors)
+    dchia = dchia.reshape(n_sweeps, n_colors)
+    return (resid_out, ls_out, new_seed), (dclean, accn, dchia)
+
+
+# ---------------------------------------------------------------------------
+# Layout shuffles (jnp, outside the kernel)
+# ---------------------------------------------------------------------------
+
+def _cube_layout(arr_lyx: jax.Array, Lp: int) -> jax.Array:
+    """[L, Y, X] -> [Y, X, Lp] (lambda -> lanes, zero-padded)."""
+    L = arr_lyx.shape[0]
+    out = jnp.moveaxis(arr_lyx, 0, -1)
+    return jnp.pad(out, ((0, 0), (0, 0), (0, Lp - L)))
+
+
+def _cube_unlayout(arr_yxl: jax.Array, L: int, Wp: int) -> jax.Array:
+    return jnp.moveaxis(arr_yxl[:, :Wp, :L], -1, 0)
+
+
+def _pad_x(arr_yxl: jax.Array, extra: int) -> jax.Array:
+    return jnp.pad(arr_yxl, ((0, 0), (0, extra), (0, 0)))
+
+
+def _to_color_layout(arr_yx: jax.Array, ny, nx, f) -> jax.Array:
+    """[Yc, Xc] -> [nij, f^2]: rows ij = i*nx+j, lanes color = a*f+b."""
+    return (
+        arr_yx.reshape(ny, f, nx, f)
+        .transpose(0, 2, 1, 3)
+        .reshape(ny * nx, f * f)
+    )
+
+
+def _from_color_layout(arr_ic: jax.Array, ny, nx, f) -> jax.Array:
+    return (
+        arr_ic.reshape(ny, nx, f, f)
+        .transpose(0, 2, 1, 3)
+        .reshape(ny * f, nx * f)
+    )
+
+
+def _quad_layout(quad_lyx: jax.Array, ny, nx, f, L, Lp) -> jax.Array:
+    """[L, Yc, Xc] -> [f^2, 1, nij*Lp] (row = color, col = ij*Lp + lam)."""
+    q = jnp.pad(quad_lyx, ((0, Lp - L), (0, 0), (0, 0)))
+    return (
+        q.reshape(Lp, ny, f, nx, f)
+        .transpose(2, 4, 1, 3, 0)             # [f, f, ny, nx, Lp]
+        .reshape(f * f, 1, ny * nx * Lp)
+    )
+
+
+def _dclean_to_cube(dclean: jax.Array, ny, nx, f, L, Lp) -> jax.Array:
+    """[K, f^2, nij*Lp] -> [K, L, Yc, Xc] per-sweep clean increments."""
+    K = dclean.shape[0]
+    return (
+        dclean.reshape(K, f, f, ny, nx, Lp)
+        .transpose(0, 5, 3, 1, 4, 2)          # [K, Lp, ny, f, nx, f]
+        .reshape(K, Lp, ny * f, nx * f)[:, :L]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full ChainResult contract on top of the kernel
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def _assemble(problem: sm.Problem, state: sm.SamplerState, n_sweeps: int,
+              carry_out, raw):
+    """Rebuild clean/accumulators/traces from per-(sweep,color) outputs."""
+    p = problem
+    cfg = p.config
+    resid_out, ls_out, _seed = carry_out
+    dclean, accn, dchia = raw
+
+    dsweep = _dclean_to_cube(dclean, p.ny, p.nx, p.f, p.L, _pad_lanes(p.L))
+    dsweep = dsweep.astype(state.clean.dtype)
+
+    idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
+    burn = cfg.resolved_burn_in()
+    keep = jnp.where(
+        (idx >= burn) & ((idx - burn) % cfg.keep_one_in == 0), 1.0, 0.0
+    ).astype(jnp.float32)
+    n_valid = jnp.sum(p.valid.astype(jnp.float32))
+    validf = p.valid.astype(state.clean.dtype)
+
+    dchi_sweep = jnp.sum(dchia, axis=1)                     # [K]
+    acc_sweep = jnp.sum(accn, axis=1)                       # [K]
+
+    def body(carry, xs):
+        clean, chi2, chi2c, sum_clean, sum_sq, n_kept = carry
+        d, dchi, keep_t = xs
+        clean = clean + d
+        y = dchi - chi2c
+        t = chi2 + y
+        chi2c = (t - chi2) - y
+        chi2 = t
+        kc = keep_t.astype(clean.dtype)
+        sum_clean = sum_clean + kc * clean
+        sum_sq = sum_sq + kc * clean * clean
+        n_kept = n_kept + keep_t
+        trace = (
+            chi2,
+            jnp.sum(clean * validf[None], dtype=jnp.float32),
+            clean.reshape(-1)[p.monitor_idx],
+        )
+        return (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), trace
+
+    init = (state.clean, state.chi2, state.chi2_comp,
+            state.sum_clean, state.sum_sq, state.n_kept)
+    (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), (
+        chi2_t, flux_t, mon_t
+    ) = jax.lax.scan(body, init, (dsweep, dchi_sweep, keep))
+
+    key, _ = jax.random.split(state.key)
+    new_state = sm.SamplerState(
+        clean=clean,
+        resid=_cube_unlayout(resid_out, p.L, p.Wp).astype(state.resid.dtype),
+        key=key,
+        chi2=chi2,
+        chi2_comp=chi2c,
+        log_scale=_from_color_layout(ls_out, p.ny, p.nx, p.f).astype(
+            state.log_scale.dtype
+        ),
+        n_accept=state.n_accept + jnp.sum(acc_sweep),
+        n_propose=state.n_propose + jnp.float32(n_sweeps) * n_valid,
+        sum_clean=sum_clean,
+        sum_sq=sum_sq,
+        n_kept=n_kept,
+        sweep=state.sweep + n_sweeps,
+    )
+    return sm.ChainResult(
+        state=new_state,
+        chi2_trace=chi2_t,
+        accept_trace=acc_sweep / jnp.maximum(n_valid, 1.0),
+        flux_trace=flux_t,
+        monitor_trace=mon_t,
+    )
+
+
+def pallas_run_sweeps(
+    problem: sm.Problem, state: sm.SamplerState, n_sweeps: int
+) -> sm.ChainResult:
+    """Drop-in replacement for the jnp engine's run_sweeps (TPU hot path)."""
+    p = problem
+    cfg = p.config
+    Lp = _pad_lanes(p.L)
+    _, _, _, Wpa = _geometry(p.f, p.ny, p.nx)
+
+    resid_k = _pad_x(
+        _cube_layout(state.resid.astype(jnp.float32), Lp), Wpa - p.Wp
+    )
+    ls_k = _to_color_layout(
+        state.log_scale.astype(jnp.float32), p.ny, p.nx, p.f
+    )
+    seed = jax.random.randint(
+        jax.random.fold_in(state.key, 17), (), 0, np.int32(2**31 - 1)
+    ).astype(jnp.int32)
+
+    ids = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
+    adapt = jnp.where(
+        ids < cfg.resolved_burn_in(), jnp.float32(cfg.adapt_rate), 0.0
+    )
+
+    carry = (resid_k, ls_k, seed)
+    carry, raw = _kernel_segment(problem, carry, adapt, n_sweeps)
+    return _assemble(problem, state, n_sweeps, carry, raw)

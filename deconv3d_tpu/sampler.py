@@ -80,6 +80,10 @@ class RunConfig:
     lsf_width: Optional[int] = None
     seed: int = 0
     dtype: np.dtype = np.float32
+    # execution engine: 'auto' → fused Pallas kernel on TPU, jnp elsewhere.
+    engine: str = "auto"                   # 'auto' | 'jnp' | 'pallas'
+    fsf_tol: float = 1e-5                  # low-rank FSF tolerance (pallas)
+    fsf_max_rank: int = 8
 
     def resolved_burn_in(self) -> int:
         return self.max_iterations // 2 if self.burn_in is None else self.burn_in
@@ -114,6 +118,9 @@ class Problem:
     quad: jax.Array = None                  # [L, Yc, Xc]  Σ_{dy,dx} F² w  per spaxel
     valid: jax.Array = None                 # [Yc, Xc] bool (unmasked & on-grid)
     monitor_idx: jax.Array = None           # [K] flat indices into clean, traced
+    # low-rank FSF factors (pallas engine): fsf ≈ Σ_s spec[s,λ]·imgs[s,·,·]
+    fsf_spec: Optional[jax.Array] = None    # [S, L]
+    fsf_imgs: Optional[jax.Array] = None    # [S, f, f]
     config: RunConfig = dataclasses.field(
         default_factory=RunConfig, metadata=dict(static=True)
     )
@@ -193,6 +200,24 @@ def make_problem(
         lam, size=config.fsf_size, pixel_scale=instrument.pixel_scale
     )
     lsf_np = instrument.lsf.bank(lam, cdelt=cube.cdelt, width=config.lsf_width)
+
+    engine = config.engine
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    config = dataclasses.replace(config, engine=engine)
+    fsf_spec = fsf_imgs = None
+    if engine == "pallas":
+        # The fused kernel contracts patches on the MXU via the low-rank bank
+        # F̃ = Σ_s spec·img (ops/fsf_factor.py).  The reconstruction becomes
+        # the forward model everywhere, so the chain is exact for F̃.
+        from .ops.fsf_factor import factor_bank
+
+        spec_np, imgs_np, fsf_np, _err = factor_bank(
+            fsf_np, tol=config.fsf_tol, max_rank=config.fsf_max_rank
+        )
+        fsf_spec = jnp.asarray(spec_np, dtype=dtype)
+        fsf_imgs = jnp.asarray(imgs_np, dtype=dtype)
+
     f = fsf_np.shape[-1]
     ny, nx = -(-Y // f), -(-X // f)
     Yc, Xc = ny * f, nx * f
@@ -205,6 +230,13 @@ def make_problem(
     w[~np.isfinite(w)] = 0.0
     mask = np.asarray(cube.mask)
     w[:, mask] = 0.0
+    if engine == "pallas":
+        # the kernel keeps weights VMEM-resident in bfloat16; round here so
+        # quad, chi² and accepts all see the *same* (slightly coarser) w̃ —
+        # the sampled posterior is then exactly the w̃-weighted one.
+        w = np.asarray(
+            jnp.asarray(w, jnp.bfloat16).astype(jnp.float64)
+        )
     w_pad = np.zeros((L, Hp, Wp))
     w_pad[:, h : h + Y, h : h + X] = w
     data_pad = np.zeros((L, Hp, Wp))
@@ -249,6 +281,8 @@ def make_problem(
         quad=jnp.asarray(quad, dtype=dtype),
         valid=jnp.asarray(valid),
         monitor_idx=jnp.asarray(monitor),
+        fsf_spec=fsf_spec,
+        fsf_imgs=fsf_imgs,
         config=config,
     )
 
@@ -474,16 +508,29 @@ def _make_sweep(p: Problem):
     return sweep
 
 
-@partial(jax.jit, static_argnames=("n_sweeps",))
 def run_sweeps(
     problem: Problem, state: SamplerState, n_sweeps: int
 ) -> ChainResult:
-    """Run ``n_sweeps`` full Gibbs sweeps under one jit (the hot path).
+    """Run ``n_sweeps`` full Gibbs sweeps (the hot path).
+
+    Dispatches to the fused Pallas kernel (TPU) or the pure-jnp scan — both
+    produce the same ChainResult contract and sample the same posterior.
 
     Burn-in handling: sweeps before ``burn_in`` adapt the per-spaxel jump
     scale and are excluded from the posterior accumulators; the schedule is
     data to the scan (no recompilation at the burn-in boundary).
     """
+    if problem.config.engine == "pallas":
+        from .ops.pallas_sweep import pallas_run_sweeps
+
+        return pallas_run_sweeps(problem, state, n_sweeps)
+    return _jnp_run_sweeps(problem, state, n_sweeps)
+
+
+@partial(jax.jit, static_argnames=("n_sweeps",))
+def _jnp_run_sweeps(
+    problem: Problem, state: SamplerState, n_sweeps: int
+) -> ChainResult:
     cfg = problem.config
     sweep = _make_sweep(problem)
     idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
