@@ -53,6 +53,9 @@ def main() -> None:
 
     sweeps_per_sec = n_bench / dt
     proposals_per_sec = sweeps_per_sec * problem.n_valid
+    # correctness gate rides along: running chi² must equal from-scratch chi²
+    chi_run = float(res.state.chi2)
+    chi_full = float(sm.full_chi2(problem, res.state))
     result = {
         "metric": "gibbs_sweeps_per_sec_muse_30x30x600",
         "value": round(sweeps_per_sec, 2),
@@ -61,10 +64,12 @@ def main() -> None:
         "proposals_per_sec_per_chip": round(proposals_per_sec, 0),
         "n_devices": len(jax.devices()),
         "device": str(jax.devices()[0]),
+        "engine": problem.config.engine,
         "footprint": problem.f,
         "acceptance": round(
             float(res.state.n_accept / res.state.n_propose), 4
         ),
+        "chi2_consistency": round(abs(chi_run - chi_full) / chi_full, 9),
     }
     print(json.dumps(result))
 

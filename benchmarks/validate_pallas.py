@@ -1,0 +1,164 @@
+"""TPU validation of the fused Pallas sweep kernel (run on real hardware).
+
+The CPU test suite cannot exercise the compiled kernel (interpret mode has
+no hardware PRNG), so this script IS the kernel's correctness gate — run it
+on the attached TPU after touching ops/pallas_sweep.py:
+
+    python benchmarks/validate_pallas.py
+
+Checks, per configuration:
+  1. incremental-vs-full invariant: data − resid == conv(clean) (≤ 3e-5
+     relative to the data scale after hundreds of accepted patch updates),
+  2. running chi² (sum of emitted Δchi²) == from-scratch chi² (≤ 1e-5 rel),
+  3. determinism: same seed ⇒ identical chains,
+  4. statistical: posterior moments on the conjugate toy match the analytic
+     Gaussian posterior (same bar as tests/test_sampler.py).
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deconv3d_tpu import Cube, instruments as ins, sampler as sm
+from deconv3d_tpu import convolve as cv
+
+
+def check(name, ok, detail=""):
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+    return ok
+
+
+def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
+                   seed=1):
+    rng = np.random.default_rng(0)
+    truth = np.zeros((L, Y, X), np.float32)
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    inst = ins.Instrument(fsf=fsf, lsf=lsf)
+    data = truth + np.sqrt(var) * rng.standard_normal((L, Y, X)).astype(
+        np.float32
+    )
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, var), crval=4750.0, cdelt=1.25
+    )
+    cfg = sm.RunConfig(
+        max_iterations=n_sweeps, burn_in=n_sweeps // 4, seed=seed,
+        fsf_size=fsf_size, lsf_width=lsf_width, engine="pallas",
+    )
+    p = sm.make_problem(cube, inst, cfg)
+    res = sm.run_sweeps(p, sm.init_state(p), n_sweeps)
+    st = res.state
+    h = p.f // 2
+    conv = cv.convolve_cube(st.clean[:, : p.Y, : p.X], p.fsf, p.lsf)
+    model = (
+        p.data_pad[:, h : h + p.Y, h : h + p.X]
+        - st.resid[:, h : h + p.Y, h : h + p.X]
+    )
+    w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X])
+    scale = float(np.abs(np.asarray(conv)).max()) or 1.0
+    inv_err = np.abs(np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]).max()
+    chi_r, chi_f = float(st.chi2), float(sm.full_chi2(p, st))
+    ok = check(
+        f"invariant  L={L} {type(fsf).__name__[:6]} var={var}",
+        inv_err / scale < 3e-5 and abs(chi_r - chi_f) / chi_f < 1e-5,
+        f"resid_err={inv_err:.2e} chi2_rel={(chi_r - chi_f) / chi_f:+.2e} "
+        f"acc={float(st.n_accept):.0f}",
+    )
+    ok &= check(
+        "  nonvacuous", float(st.n_accept) > n_sweeps,
+        f"accepts={float(st.n_accept):.0f}",
+    )
+    # determinism
+    res2 = sm.run_sweeps(p, sm.init_state(p), n_sweeps)
+    ok &= check(
+        "  deterministic",
+        bool(jnp.array_equal(res.state.clean, res2.state.clean)),
+    )
+    return ok
+
+
+def statistical_case():
+    import scipy.signal
+
+    rng = np.random.default_rng(42)
+    L, Y, X = 8, 4, 4
+    noise = 0.5
+    truth = np.zeros((L, Y, X))
+    truth[4, 2, 2] = 4.0
+    lam = 4750.0 + 1.25 * np.arange(L)
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.25), lsf=ins.GaussianLSF(fwhm=1.0)
+    )
+    cfg = sm.RunConfig(max_iterations=8000, burn_in=1000, seed=13,
+                       fsf_size=3, lsf_width=3, engine="pallas")
+    p0 = sm.make_problem(
+        Cube.from_data(truth, variance=np.full_like(truth, noise**2),
+                       crval=4750.0, cdelt=1.25),
+        inst, cfg,
+    )
+    # forward-model with the problem's own (reconstructed) banks
+    fsf, lsf = np.asarray(p0.fsf), np.asarray(p0.lsf)
+    conv = np.asarray(
+        cv.convolve_cube(jnp.asarray(truth, jnp.float32),
+                         jnp.asarray(fsf), jnp.asarray(lsf))
+    )
+    data = (conv + noise * rng.standard_normal(conv.shape)).astype(np.float32)
+    cube = Cube.from_data(data, variance=np.full_like(data, noise**2),
+                          crval=4750.0, cdelt=1.25)
+    p = sm.make_problem(cube, inst, cfg)
+
+    # dense analytic posterior (with the problem's exact banks and weights)
+    n = L * Y * X
+    mat = cv.lsf_matrix(lsf)
+    K = np.zeros((n, n))
+    eye = np.zeros((L, Y, X))
+    for i in range(n):
+        eye.flat[i] = 1.0
+        spec = np.einsum("ml,lyx->myx", mat, eye)
+        out = np.empty_like(spec)
+        for l in range(L):
+            out[l] = scipy.signal.fftconvolve(spec[l], fsf[l], mode="same")
+        K[:, i] = out.ravel()
+        eye.flat[i] = 0.0
+    w = np.asarray(p.w_pad[:, p.f // 2 : p.f // 2 + Y,
+                           p.f // 2 : p.f // 2 + X]).ravel()
+    P = K.T @ (w[:, None] * K)
+    cov = np.linalg.inv(P)
+    mean = cov @ K.T @ (w * data.ravel())
+    sig = np.sqrt(np.diag(cov))
+
+    res = sm.run_sweeps(p, sm.init_state(p), 8000)
+    pm = np.asarray(sm.posterior_mean(p, res.state)).ravel()
+    ps = np.asarray(sm.posterior_std(p, res.state)).ravel()
+    z = (pm - mean) / sig
+    ratio = np.median(ps / sig)
+    return check(
+        "statistical (conjugate toy)",
+        np.abs(z).mean() < 0.2 and np.abs(z).max() < 1.0
+        and abs(ratio - 1.0) < 0.1,
+        f"mean|z|={np.abs(z).mean():.3f} max|z|={np.abs(z).max():.3f} "
+        f"std_ratio={ratio:.3f}",
+    )
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the TPU"
+    ok = True
+    # Gaussian (rank-1 exact), small
+    ok &= invariant_case(ins.GaussianFSF(fwhm=0.5), ins.GaussianLSF(fwhm=2.0),
+                         5, 5, 16, 6, 6, 0.01, 200)
+    # chromatic Moffat (rank>1), wavelength-dependent LSF, masked-free
+    ok &= invariant_case(
+        ins.MoffatFSF(fwhm=0.66, beta=2.6, lambda_ref=4800.0,
+                      fwhm_slope=-3e-5),
+        ins.MUSELSF(), 9, 7, 64, 12, 12, 0.25, 100,
+    )
+    ok &= statistical_case()
+    print("ALL PASS" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

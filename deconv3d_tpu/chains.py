@@ -154,6 +154,23 @@ def run_chains(
     if states is None:
         states = init_chain_states(problem, n_chains)
 
+    if problem.config.engine == "pallas":
+        # A fused Pallas kernel is a whole-core program: chains run as
+        # back-to-back kernel invocations on a chip (and across chips via
+        # one chain per device under shard_map in multi-chip deployments).
+        per_chain = [
+            sm.run_sweeps(
+                problem,
+                jax.tree_util.tree_map(lambda x: x[i], states),
+                n_sweeps,
+            )
+            for i in range(n_chains)
+        ]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *per_chain
+        )
+        return MultiChainResult(result=stacked)
+
     if mesh is None and len(jax.devices()) > 1 and n_chains % len(jax.devices()) == 0:
         mesh = make_mesh(axis_name=axis_name)
     if mesh is not None:

@@ -78,7 +78,8 @@ def lsf_matrix_traced(lsf_bank: jax.Array) -> jax.Array:
 def apply_lsf_matrix(data: jax.Array, mat: jax.Array) -> jax.Array:
     """Spectral convolution as a dense matmul (MXU path)."""
     return jnp.einsum(
-        "ml,lyx->myx", mat, data, preferred_element_type=data.dtype
+        "ml,lyx->myx", mat, data, preferred_element_type=data.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -159,6 +160,7 @@ def apply_fsf_direct(data: jax.Array, fsf_bank: jax.Array) -> jax.Array:
         window_strides=(1, 1),
         padding="SAME",
         feature_group_count=nl,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 

@@ -75,8 +75,8 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
     n_colors = f * f
 
     def kernel(
-        seed_ref, adapt_ref, B_ref, spec_ref, lsfT_ref, valid_ref,
-        quadc_ref, ls_in_ref, resid_in_ref, w_ref,
+        seed_ref, adapt_ref, btile_ref, m2t_ref, spec_ref, lsfT_ref,
+        valid_ref, quadc_ref, ls_in_ref, resid_in_ref, w_ref,
         dclean_ref, accn_ref, dchia_ref, resid_out_ref, ls_ref,
         resid_vmem, sem_io,
     ):
@@ -126,25 +126,43 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
         for d in range(lw):
             g = g + lsfT_ref[d, :] * jp[:, lw + d - half : lw + d - half + Lp]
 
-        # ------- pass 1: lin[ij, lam] = sum_s spec * (B @ patches) ---------
+        # ------- pass 1: lin[ij, lam] = sum_s spec * (Btile-pooled patches) -
+        # Instead of transposing the slab to patch-major (expensive vector
+        # relayouts), tile the FSF image into slab coordinates and roll the
+        # *tiny constant patterns* by the color offset: the contraction
+        # becomes elementwise multiply + outer-dim block sums + one small
+        # MXU matmul per block row.  (pltpu.roll miscompiles for negative
+        # dynamic shifts on this toolchain — positive shifts only.)
         quad_c = quadc_ref[:, :, :].reshape(nij, Lp)
+        bt_w = [
+            pltpu.roll(btile_ref[si, :, :, :], sh, axis=1)   # [BY, W8, 1]
+            for si in range(S)
+        ]
+        m2t_w = pltpu.roll(m2t_ref[:, :], sh, axis=0)        # [W8, nx]
+        dims_lin = (((0,), (0,)), ((), ()))                  # contract W8
         lin_parts = []
         for k in range(n_chunks):
             lo = k * chunk
             rsl = resid_vmem[pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)]
             wsl = w_ref[pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)]
             rw_wide = rsl * wsl.astype(jnp.float32)          # [BY, W8, ck]
-            rw = pltpu.roll(rw_wide, -sh, axis=1)[:, :BX, :]
-            rwp = (
-                rw.reshape(ny, f, nx, f, chunk)
-                .transpose(1, 3, 0, 2, 4)
-                .reshape(f * f, nij * chunk)
-            )
-            linS = jnp.dot(
-                B_ref[:, :], rwp, preferred_element_type=jnp.float32
-            ).reshape(S, nij, chunk)
             spec_c = spec_ref[:, pl.ds(lo, chunk)]           # [S, ck]
-            lin_parts.append(jnp.sum(linS * spec_c[:, None, :], axis=0))
+            lin_c = jnp.zeros((nij, chunk), jnp.float32)
+            for si in range(S):
+                t = rw_wide * bt_w[si]                       # [BY, W8, ck]
+                ty = t.reshape(ny, f, W8, chunk).sum(axis=1) # [ny, W8, ck]
+                rows = [
+                    jax.lax.dot_general(
+                        m2t_w, ty[i], dims_lin,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                        # [nx, ck]
+                    for i in range(ny)
+                ]
+                lin_c = lin_c + jnp.expand_dims(spec_c[si], 0) * (
+                    jnp.concatenate(rows, axis=0)            # [nij, ck]
+                )
+            lin_parts.append(lin_c)
         lin = jnp.concatenate(lin_parts, axis=1)             # [nij, Lp]
 
         dchi_vec = g * g * quad_c - 2.0 * g * lin
@@ -161,25 +179,29 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
             (jnp.log(u2[:, 0:1]) < -0.5 * dchi) & (vmask > 0), 1.0, 0.0
         )                                                    # [nij, 1]
 
-        # ------- commit: roll the update into place, subtract on the slab --
+        # ------- commit: expand accepted deltas into slab coords, subtract -
         gacc = g * accf                                      # [nij, Lp]
+        dims_exp = (((1,), (0,)), ((), ()))                  # contract nx
         for k in range(n_chunks):
             lo = k * chunk
-            spec_c = spec_ref[:, pl.ds(lo, chunk)]
-            P = (spec_c[:, None, :] * gacc[None, :, lo : lo + chunk]).reshape(
-                S, nij * chunk
-            )
-            dP = jnp.dot(
-                B_ref[:, :].T, P, preferred_element_type=jnp.float32
-            )                                                # [f^2, nij*ck]
-            delta = (
-                dP.reshape(f, f, ny, nx, chunk)
-                .transpose(2, 0, 3, 1, 4)
-                .reshape(BY, BX, chunk)
-            )
-            delta_wide = pltpu.roll(
-                jnp.pad(delta, ((0, 0), (0, W8 - BX), (0, 0))), sh, axis=1
-            )
+            spec_c = spec_ref[:, pl.ds(lo, chunk)]           # [S, ck]
+            gacc_c = jax.lax.slice_in_dim(gacc, lo, lo + chunk, axis=1)
+            delta_wide = jnp.zeros((BY, W8, chunk), jnp.float32)
+            for si in range(S):
+                gs = jnp.expand_dims(spec_c[si], 0) * gacc_c  # [nij, ck]
+                eb = [
+                    jax.lax.dot_general(
+                        m2t_w, gs[i * nx : (i + 1) * nx], dims_exp,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                        # [W8, ck]
+                    for i in range(ny)
+                ]
+                ebig = jnp.broadcast_to(
+                    jnp.stack(eb, axis=0)[:, None],          # [ny, 1, W8, ck]
+                    (ny, f, W8, chunk),
+                ).reshape(BY, W8, chunk)
+                delta_wide = delta_wide + ebig * bt_w[si]
             cur = resid_vmem[
                 pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)
             ]
@@ -223,7 +245,16 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
 
     resid_k, ls_k, seed = carry
 
-    B = p.fsf_imgs.reshape(S, f * f).astype(jnp.float32)
+    # FSF images tiled into slab coordinates: Btile[s, y, x] = img_s[y%f, x%f]
+    # for x < BX (zero in the wide-slab padding); M2T selects x-block j.
+    imgs = p.fsf_imgs.astype(jnp.float32)                    # [S, f, f]
+    btile = jnp.tile(imgs, (1, ny, nx))                      # [S, BY, BX]
+    btile = jnp.pad(btile, ((0, 0), (0, 0), (0, W8 - BX)))[..., None]
+    xs = np.arange(W8)
+    m2t = jnp.asarray(
+        ((xs[:, None] // f) == np.arange(nx)[None, :]) & (xs[:, None] < BX),
+        dtype=jnp.float32,
+    )                                                        # [W8, nx]
     spec = jnp.zeros((S, Lp), jnp.float32).at[:, :L].set(
         p.fsf_spec.astype(jnp.float32)
     )
@@ -254,7 +285,8 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # adapt
-            pl.BlockSpec(memory_space=pltpu.VMEM),                    # B
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # btile
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # m2t
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # spec
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # lsfT
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # valid
@@ -283,7 +315,7 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
     )(
         jnp.reshape(seed, (1,)).astype(jnp.int32),
         adapt.astype(jnp.float32).reshape(n_sweeps, 1),
-        B, spec, lsfT, valid_k, quad_k, ls_k, resid_k, w_k,
+        btile, m2t, spec, lsfT, valid_k, quad_k, ls_k, resid_k, w_k,
     )
     new_seed = seed + n_sweeps * n_colors
     dclean = dclean.reshape(n_sweeps, n_colors, nij * Lp)
@@ -426,10 +458,44 @@ def _assemble(problem: sm.Problem, state: sm.SamplerState, n_sweeps: int,
     )
 
 
+# Per-kernel-call sweep cap: bounds the SMEM adapt schedule and — more
+# importantly — the HBM footprint of the per-(sweep,color) outputs
+# (dclean is n_sweeps x f^2 x nij*Lp floats).
+_MAX_SEGMENT = 128
+
+
 def pallas_run_sweeps(
     problem: sm.Problem, state: sm.SamplerState, n_sweeps: int
 ) -> sm.ChainResult:
-    """Drop-in replacement for the jnp engine's run_sweeps (TPU hot path)."""
+    """Drop-in replacement for the jnp engine's run_sweeps (TPU hot path).
+
+    Long runs execute as back-to-back kernel segments (the state pytree —
+    including the RNG key — threads through, so execution is deterministic
+    for a given call pattern)."""
+    if n_sweeps > _MAX_SEGMENT:
+        parts = []
+        left = n_sweeps
+        while left > 0:
+            k = min(_MAX_SEGMENT, left)
+            r = _pallas_segment(problem, state, k)
+            state = r.state
+            parts.append(r)
+            left -= k
+        return sm.ChainResult(
+            state=state,
+            chi2_trace=jnp.concatenate([r.chi2_trace for r in parts]),
+            accept_trace=jnp.concatenate([r.accept_trace for r in parts]),
+            flux_trace=jnp.concatenate([r.flux_trace for r in parts]),
+            monitor_trace=jnp.concatenate(
+                [r.monitor_trace for r in parts], axis=0
+            ),
+        )
+    return _pallas_segment(problem, state, n_sweeps)
+
+
+def _pallas_segment(
+    problem: sm.Problem, state: sm.SamplerState, n_sweeps: int
+) -> sm.ChainResult:
     p = problem
     cfg = p.config
     Lp = _pad_lanes(p.L)

@@ -62,6 +62,8 @@ class Run:
         metrics_path: Optional[str] = None,
         checkpoint_path: Optional[str] = None,
         dtype=np.float32,
+        engine: str = "auto",
+        fsf_tol: float = 1e-5,
     ):
         if isinstance(cube, str):
             cube = (
@@ -97,6 +99,8 @@ class Run:
             lsf_width=lsf_width,
             seed=seed,
             dtype=dtype,
+            engine=engine,
+            fsf_tol=fsf_tol,
         )
         self.problem = sm.make_problem(cube, self.instrument, self.config)
         self.states = ch.init_chain_states(self.problem, self.n_chains)

@@ -250,6 +250,7 @@ def make_problem(
         window_strides=(1, 1),
         padding="VALID",
         feature_group_count=L,
+        precision=jax.lax.Precision.HIGHEST,
     )[0]
     quad = np.asarray(quad)
 
@@ -419,9 +420,13 @@ def _make_color_step(p: Problem):
 
         # Δchi² = Σ (Δ² - 2 r Δ) w  =  Σ_μ g² (Σ F² w)  -  2 Σ_μ g (Σ F r w)
         quad_c = _color_slice(p.quad, cy, cx, ny, nx, f)             # [L,ny,nx]
-        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock)    # [L,ny,nx]
-        dchi2 = jnp.einsum("yxl,lyx->yx", g * g, quad_c) - 2.0 * jnp.einsum(
-            "yxl,lyx->yx", g, lin
+        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock,
+                         precision=jax.lax.Precision.HIGHEST)  # [L,ny,nx]
+        dchi2 = jnp.einsum(
+            "yxl,lyx->yx", g * g, quad_c,
+            precision=jax.lax.Precision.HIGHEST,
+        ) - 2.0 * jnp.einsum(
+            "yxl,lyx->yx", g, lin, precision=jax.lax.Precision.HIGHEST
         )
 
         if cfg.positivity:
@@ -436,7 +441,8 @@ def _make_color_step(p: Problem):
         accf = accept.astype(resid.dtype)
 
         # --- commit: residual patches, clean spectra, chi² (Kahan)
-        delta = jnp.einsum("yxl,lab->lyaxb", g * accf[..., None], p.fsf)
+        delta = jnp.einsum("yxl,lab->lyaxb", g * accf[..., None], p.fsf,
+                           precision=jax.lax.Precision.HIGHEST)
         block = (block - delta).reshape(L, ny * f, nx * f)
         resid = jax.lax.dynamic_update_slice(resid, block, (_i32(0), _i32(cy), _i32(cx)))
 
