@@ -175,7 +175,7 @@ def convolve_cube(
     fsf_bank: jax.Array,
     lsf_bank: jax.Array,
     lsf_mat: Optional[jax.Array] = None,
-    spatial: str = "fft",
+    spatial: str = "auto",
     spectral: str = "auto",
     order: str = "lsf_first",
 ) -> jax.Array:
@@ -184,7 +184,15 @@ def convolve_cube(
     ``order='lsf_first'`` is the package-canonical model (see instruments.py);
     ``'fsf_first'`` reproduces the reference's stage order exactly for
     λ-dependent FSFs (the two differ only in that case).
+
+    ``spatial='auto'`` resolves to the depthwise direct conv on TPU and the
+    rFFT2 path elsewhere: TPU's non-power-of-two FFTs lower through
+    reduced-precision matmuls (measured 5e-3 delta-response error at size
+    320, vs 7e-10 for the direct path), and for instrument-scale kernels
+    (f ≲ 20) the direct conv is also the faster choice on the conv units.
     """
+    if spatial == "auto":
+        spatial = "direct" if jax.default_backend() == "tpu" else "fft"
     spatial_fn = apply_fsf if spatial == "fft" else apply_fsf_direct
     if spectral == "auto":
         spectral = "matrix" if (lsf_mat is not None or clean.shape[0] <= 2048) else "banded"

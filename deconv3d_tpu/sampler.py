@@ -204,6 +204,10 @@ def make_problem(
     engine = config.engine
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if engine == "pallas" and config.positivity:
+        # the fused kernel does not evaluate the positivity prior (it never
+        # reads the clean cube); use the jnp engine for that model.
+        engine = "jnp"
     config = dataclasses.replace(config, engine=engine)
     fsf_spec = fsf_imgs = None
     if engine == "pallas":
@@ -406,6 +410,14 @@ def _make_color_step(p: Problem):
         draw = jnp.clip(draw, -1e3, 1e3)
         jumps = jnp.exp(scale_c)[..., None] * draw
         jumps = jnp.where(valid_c[..., None], jumps, 0.0)
+        if cfg.positivity:
+            # reflective random walk: c' = |c + J| stays in the positive
+            # orthant and the folded proposal density is symmetric, so the
+            # Metropolis ratio needs no correction (flat prior on c ≥ 0).
+            cur = jnp.moveaxis(
+                _color_slice(clean, cy, cx, ny, nx, f), 0, -1
+            )                                                # [ny,nx,L]
+            jumps = jnp.abs(cur + jumps) - cur
 
         # --- incremental delta (C4): Δ[μ,dy,dx] = g[μ]·F[μ,dy,dx]
         g = _lsf_apply_lastaxis(jumps, p.lsf)                        # [ny,nx,L]
@@ -428,11 +440,6 @@ def _make_color_step(p: Problem):
         ) - 2.0 * jnp.einsum(
             "yxl,lyx->yx", g, lin, precision=jax.lax.Precision.HIGHEST
         )
-
-        if cfg.positivity:
-            clean_c = _color_slice(clean, cy, cx, ny, nx, f)         # [L,ny,nx]
-            neg = jnp.any(clean_c + jnp.moveaxis(jumps, -1, 0) < 0, axis=0)
-            dchi2 = jnp.where(neg, jnp.inf, dchi2)
 
         # --- branchless Metropolis accept (C1)
         logu = jnp.log(jax.random.uniform(

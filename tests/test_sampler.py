@@ -134,6 +134,20 @@ def test_segmented_equals_single_run(toy):
                                   np.asarray(part2.state.sum_clean))
 
 
+def test_positivity_constraint(rng):
+    """positivity=True: proposals that would push any voxel negative are
+    rejected, so the clean cube stays non-negative throughout."""
+    cube, inst, _ = _make_toy(rng, noise=0.2)
+    cfg = sm.RunConfig(max_iterations=60, burn_in=20, seed=4,
+                       dtype=np.float64, fsf_size=5, lsf_width=5,
+                       positivity=True, engine="pallas")  # must fall back
+    p = sm.make_problem(cube, inst, cfg)
+    assert p.config.engine == "jnp", "positivity requires the jnp engine"
+    res = sm.run_sweeps(p, sm.init_state(p), 60)
+    assert float(res.state.n_accept) > 0
+    assert float(jnp.min(res.state.clean)) >= 0.0
+
+
 def _dense_forward_operator(L, Y, X, fsf, lsf):
     """Dense K [n,n] of the separable forward model (oracle, small dims)."""
     n = L * Y * X
