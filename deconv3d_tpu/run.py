@@ -52,6 +52,7 @@ class Run:
         target_acceptance: float = 0.234,
         min_acceptance_rate: float = 0.01,
         positivity: bool = False,
+        sampler: str = "mh",
         initial: str = "zeros",
         seed: int = 0,
         fsf_size: Optional[int] = None,
@@ -94,6 +95,7 @@ class Run:
             jump_scale=jump_amplitude,
             target_acceptance=target_acceptance,
             positivity=positivity,
+            sampler=sampler,
             initial=initial,
             fsf_size=fsf_size,
             lsf_width=lsf_width,

@@ -75,6 +75,7 @@ class RunConfig:
     target_acceptance: float = 0.234       # adaptive-MH target (burn-in only)
     adapt_rate: float = 0.10               # Robbins-Monro step for log-scale
     positivity: bool = False               # optional positivity constraint
+    sampler: str = "mh"                    # 'mh' | 'gibbs' (exact voxel draws)
     initial: str = "zeros"                 # 'zeros' | 'data'
     fsf_size: Optional[int] = None
     lsf_width: Optional[int] = None
@@ -121,6 +122,8 @@ class Problem:
     # low-rank FSF factors (pallas engine): fsf ≈ Σ_s spec[s,λ]·imgs[s,·,·]
     fsf_spec: Optional[jax.Array] = None    # [S, L]
     fsf_imgs: Optional[jax.Array] = None    # [S, f, f]
+    # per-voxel conditional precision (gibbs sampler): Σ_μ M²[μ,λ]·quad[μ,y,x]
+    qvox: Optional[jax.Array] = None        # [L, Yc, Xc]
     config: RunConfig = dataclasses.field(
         default_factory=RunConfig, metadata=dict(static=True)
     )
@@ -201,12 +204,17 @@ def make_problem(
     )
     lsf_np = instrument.lsf.bank(lam, cdelt=cube.cdelt, width=config.lsf_width)
 
+    if config.sampler == "gibbs" and config.positivity:
+        raise ValueError(
+            "sampler='gibbs' draws exact Gaussian conditionals; positivity "
+            "would need truncated-normal draws (use sampler='mh')."
+        )
     engine = config.engine
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if engine == "pallas" and config.positivity:
-        # the fused kernel does not evaluate the positivity prior (it never
-        # reads the clean cube); use the jnp engine for that model.
+    if engine == "pallas" and (config.positivity or config.sampler == "gibbs"):
+        # the fused kernel implements the MH flat-prior model only (it never
+        # reads the clean cube); other models use the jnp engine.
         engine = "jnp"
     config = dataclasses.replace(config, engine=engine)
     fsf_spec = fsf_imgs = None
@@ -277,6 +285,16 @@ def make_problem(
         lam_pick = mon_rng.integers(0, L, size=k)
         monitor = (lam_pick * Yc * Xc + vy[pick] * Xc + vx[pick]).astype(np.int32)
 
+    qvox = None
+    if config.sampler == "gibbs":
+        # conditional precision of a single voxel (λ0, y, x) under the
+        # separable model: q = Σ_μ M[μ,λ0]² · (Σ_{dy,dx} F²[μ] w[μ,·,·]).
+        mat2 = cv.lsf_matrix(lsf_np) ** 2                  # [L, L] float64
+        qvox = jnp.asarray(
+            np.einsum("ml,myx->lyx", mat2, np.asarray(quad, np.float64)),
+            dtype=dtype,
+        )
+
     return Problem(
         L=L, Y=Y, X=X, f=f, ny=ny, nx=nx,
         fsf=jnp.asarray(fsf_np, dtype=dtype),
@@ -288,6 +306,7 @@ def make_problem(
         monitor_idx=jnp.asarray(monitor),
         fsf_spec=fsf_spec,
         fsf_imgs=fsf_imgs,
+        qvox=qvox,
         config=config,
     )
 
@@ -483,10 +502,113 @@ def _make_color_step(p: Problem):
     return color_step
 
 
+def _lsf_apply_T_lastaxis(x: jax.Array, lsf: jax.Array) -> jax.Array:
+    """out[..., l] = Σ_μ M[μ, l] · x[..., μ]  (the transpose band of
+    _lsf_apply_lastaxis): out[l] = Σ_d lsf[l+half-d, d] · x[l+half-d]."""
+    L = x.shape[-1]
+    lw = lsf.shape[1]
+    half = lw // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half)])
+    lsfp = jnp.pad(lsf, ((half, half), (0, 0)))
+    out = jnp.zeros_like(x)
+    for d in range(lw):
+        s = half - d  # shift: row index l+s
+        out = out + jax.lax.dynamic_slice_in_dim(
+            lsfp[:, d], half + s, L
+        ) * jax.lax.dynamic_slice_in_dim(xp, half + s, L, axis=-1)
+    return out
+
+
+def _make_gibbs_step(p: Problem):
+    """One (spatial-color, λ-phase) update: exact Gaussian conditional draws
+    for every voxel of the set — acceptance 1, no tuning (rebuild-only
+    sampler mode; the chain targets the identical posterior as 'mh').
+
+    Voxels at the same spaxel with λ0 offsets that are multiples of the LSF
+    width have disjoint spectral footprints, so — combined with the spatial
+    coloring — all draws in a set are conditionally independent and commit
+    simultaneously, exactly as a sequential scan would.
+    """
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    lw = int(p.lsf.shape[1])
+
+    def gibbs_step(carry, code):
+        (resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate) = carry
+        color = code // lw
+        clam = code % lw
+        cy, cx = color // f, color % f
+
+        valid_c = _color_slice(p.valid, cy, cx, ny, nx, f)           # [ny,nx]
+
+        block = jax.lax.dynamic_slice(
+            resid, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
+        ).reshape(L, ny, f, nx, f)
+        wblock = jax.lax.dynamic_slice(
+            p.w_pad, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
+        ).reshape(L, ny, f, nx, f)
+        quad_c = _color_slice(p.quad, cy, cx, ny, nx, f)             # [L,ny,nx]
+        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock,
+                         precision=jax.lax.Precision.HIGHEST)        # [L,ny,nx]
+
+        # conditional N(c + linT/q, 1/q) for voxels with λ ≡ clam (mod lw)
+        linT = _lsf_apply_T_lastaxis(jnp.moveaxis(lin, 0, -1), p.lsf)
+        qv = jnp.moveaxis(
+            _color_slice(p.qvox, cy, cx, ny, nx, f), 0, -1
+        )                                                            # [ny,nx,L]
+        lam_sel = (
+            jnp.arange(L, dtype=jnp.int32) % lw == clam
+        ).astype(linT.dtype)
+        live = lam_sel * valid_c[..., None] * (qv > 0)
+        key, k1 = jax.random.split(key)
+        noise = jax.random.normal(k1, (ny, nx, L), dtype=linT.dtype)
+        qv_safe = jnp.maximum(qv, 1e-30)
+        jumps = live * (linT / qv_safe + noise * jax.lax.rsqrt(qv_safe))
+
+        # commit (always): same separable delta machinery as MH
+        g = _lsf_apply_lastaxis(jumps, p.lsf)
+        dchi2 = jnp.einsum("yxl,lyx->yx", g * g, quad_c,
+                           precision=jax.lax.Precision.HIGHEST) - 2.0 * (
+            jnp.einsum("yxl,lyx->yx", g, lin,
+                       precision=jax.lax.Precision.HIGHEST)
+        )
+        delta = jnp.einsum("yxl,lab->lyaxb", g, p.fsf,
+                           precision=jax.lax.Precision.HIGHEST)
+        block = (block - delta).reshape(L, ny * f, nx * f)
+        resid = jax.lax.dynamic_update_slice(
+            resid, block, (_i32(0), _i32(cy), _i32(cx))
+        )
+        clean_c = _color_slice(clean, cy, cx, ny, nx, f)
+        clean = _color_update(
+            clean, clean_c + jnp.moveaxis(jumps, -1, 0), cy, cx, ny, nx, f
+        )
+
+        dchi2_tot = jnp.sum(dchi2, dtype=jnp.float32)
+        y = dchi2_tot - chi2c
+        t = chi2 + y
+        chi2c = (t - chi2) - y
+        chi2 = t
+
+        n_upd = jnp.sum(live, dtype=jnp.float32)
+        return (
+            resid, clean, key, chi2, chi2c, log_scale, acc + n_upd,
+            nprop + n_upd, adapt_rate,
+        ), None
+
+    return gibbs_step
+
+
 def _make_sweep(p: Problem):
-    """One full Gibbs sweep: lax.scan over the f² colors + trace outputs."""
-    color_step = _make_color_step(p)
-    colors = jnp.arange(p.n_colors, dtype=jnp.int32)
+    """One full Gibbs sweep: lax.scan over the update sets + trace outputs.
+
+    'mh': f² spatial colors, one MH spectrum proposal per spaxel.
+    'gibbs': f²·lw (spatial color, λ phase) sets, exact voxel draws.
+    """
+    if p.config.sampler == "gibbs":
+        step = _make_gibbs_step(p)
+        codes = jnp.arange(p.n_colors * int(p.lsf.shape[1]), dtype=jnp.int32)
+    else:
+        step = _make_color_step(p)
+        codes = jnp.arange(p.n_colors, dtype=jnp.int32)
     validf = p.valid.astype(p.config.dtype)
 
     def sweep(state: SamplerState, xs):
@@ -496,7 +618,7 @@ def _make_sweep(p: Problem):
             state.log_scale, jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.float32), adapt_rate,
         )
-        carry, _ = jax.lax.scan(color_step, carry, colors)
+        carry, _ = jax.lax.scan(step, carry, codes)
         resid, clean, key, chi2, chi2c, log_scale, acc, nprop, _ = carry
 
         keep_c = keep.astype(clean.dtype)

@@ -135,8 +135,8 @@ def test_segmented_equals_single_run(toy):
 
 
 def test_positivity_constraint(rng):
-    """positivity=True: proposals that would push any voxel negative are
-    rejected, so the clean cube stays non-negative throughout."""
+    """positivity=True: reflective proposals keep the clean cube in the
+    positive orthant throughout (and still accept at a healthy rate)."""
     cube, inst, _ = _make_toy(rng, noise=0.2)
     cfg = sm.RunConfig(max_iterations=60, burn_in=20, seed=4,
                        dtype=np.float64, fsf_size=5, lsf_width=5,
@@ -146,6 +146,90 @@ def test_positivity_constraint(rng):
     res = sm.run_sweeps(p, sm.init_state(p), 60)
     assert float(res.state.n_accept) > 0
     assert float(jnp.min(res.state.clean)) >= 0.0
+
+
+class TestGibbsSampler:
+    """sampler='gibbs': exact voxel conditionals, acceptance 1 (rebuild-only
+    mode; same posterior as 'mh', far better mixing under blur)."""
+
+    def test_invariant_and_unit_acceptance(self, rng):
+        cube, inst, _ = _make_toy(rng)
+        cfg = sm.RunConfig(max_iterations=30, burn_in=10, seed=2,
+                           dtype=np.float64, fsf_size=5, lsf_width=5,
+                           sampler="gibbs")
+        p = sm.make_problem(cube, inst, cfg)
+        res = sm.run_sweeps(p, sm.init_state(p), 30)
+        st = res.state
+        # every live voxel updates every sweep
+        assert float(st.n_accept) == float(st.n_propose) > 0
+        h = p.f // 2
+        conv = cv.convolve_cube(st.clean[:, : p.Y, : p.X], p.fsf, p.lsf)
+        model = (p.data_pad[:, h : h + p.Y, h : h + p.X]
+                 - st.resid[:, h : h + p.Y, h : h + p.X])
+        w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X])
+        np.testing.assert_allclose(
+            np.asarray(model)[w > 0], np.asarray(conv)[w > 0], atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(st.chi2), float(sm.full_chi2(p, st)), rtol=1e-5
+        )
+
+    @pytest.mark.slow
+    def test_posterior_matches_analytic(self, rng):
+        """Exact-Gibbs hits the analytic posterior (well-conditioned toy,
+        same bar as the MH test but in fewer sweeps — acceptance is 1).
+        Under strong blur single-site Gibbs still decorrelates slowly
+        (measured std ratio 0.81 at 4k sweeps vs MH's 0.34) — that regime
+        is covered by test_mixes_faster_than_mh_under_blur."""
+        L, Y, X = 8, 4, 4
+        noise = 0.5
+        truth = np.zeros((L, Y, X))
+        truth[4, 2, 2] = 4.0
+        lam = 4750.0 + 1.25 * np.arange(L)
+        fsf = ins.GaussianFSF(fwhm=0.25).bank(lam, size=3, pixel_scale=0.2)
+        lsf = ins.GaussianLSF(fwhm=1.0).bank(lam, cdelt=1.25, width=3)
+        conv = np.asarray(cv.convolve_cube(
+            jnp.asarray(truth), jnp.asarray(fsf), jnp.asarray(lsf)))
+        data = conv + noise * rng.standard_normal(conv.shape)
+        cube = Cube.from_data(data, variance=np.full_like(data, noise**2),
+                              crval=4750.0, cdelt=1.25, dtype=np.float64)
+        K = _dense_forward_operator(L, Y, X, fsf, lsf)
+        W = np.eye(L * Y * X) / noise**2
+        cov = np.linalg.inv(K.T @ W @ K)
+        mean = cov @ K.T @ W @ data.ravel()
+        sig = np.sqrt(np.diag(cov))
+
+        inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.25),
+                              lsf=ins.GaussianLSF(fwhm=1.0), pixel_scale=0.2)
+        n = 3000
+        cfg = sm.RunConfig(max_iterations=n, burn_in=500, seed=13,
+                           dtype=np.float64, fsf_size=3, lsf_width=3,
+                           sampler="gibbs")
+        p = sm.make_problem(cube, inst, cfg)
+        res = sm.run_sweeps(p, sm.init_state(p), n)
+        pm = np.asarray(sm.posterior_mean(p, res.state)).ravel()
+        ps = np.asarray(sm.posterior_std(p, res.state)).ravel()
+        z = (pm - mean) / sig
+        assert np.abs(z).mean() < 0.2, f"mean|z|={np.abs(z).mean()}"
+        assert np.abs(z).max() < 1.0, f"max|z|={np.abs(z).max()}"
+        assert abs(np.median(ps / sig) - 1.0) < 0.1
+
+    def test_mixes_faster_than_mh_under_blur(self, rng):
+        from deconv3d_tpu import chains as ch
+
+        cube, inst, _ = _make_toy(rng, L=8, noise=0.3)   # strong blur toy
+        n = 400
+        ess = {}
+        for samp in ("mh", "gibbs"):
+            cfg = sm.RunConfig(max_iterations=n, burn_in=100, seed=6,
+                               dtype=np.float64, fsf_size=5, lsf_width=5,
+                               sampler=samp)
+            p = sm.make_problem(cube, inst, cfg)
+            res = sm.run_sweeps(p, sm.init_state(p), n)
+            ess[samp] = ch.effective_sample_size(
+                np.asarray(res.flux_trace)[None, 100:]
+            )
+        assert ess["gibbs"] > 2 * ess["mh"], ess
 
 
 def _dense_forward_operator(L, Y, X, fsf, lsf):
