@@ -1,0 +1,105 @@
+"""Thin CLI over the library (SURVEY.md §5.6: reference has none; this is
+the optional convenience wrapper for the benchmark configs):
+
+    python -m deconv3d_tpu run --cube data.fits --out my_deconv \
+        --iterations 10000 --chains 8 --sampler gibbs
+    python -m deconv3d_tpu info --cube data.fits
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_run_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cube", required=True, help="FITS or NPZ cube path")
+    p.add_argument("--out", default="deconv3d_out", help="output prefix")
+    p.add_argument("--iterations", type=int, default=1000)
+    p.add_argument("--burn-in", type=int, default=None)
+    p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sampler", choices=["mh", "gibbs"], default="mh")
+    p.add_argument("--engine", choices=["auto", "jnp", "pallas"],
+                   default="auto")
+    p.add_argument("--positivity", action="store_true")
+    p.add_argument("--fsf", choices=["moffat", "gaussian"], default="moffat")
+    p.add_argument("--fsf-fwhm", type=float, default=0.66,
+                   help="FSF FWHM in arcsec")
+    p.add_argument("--fsf-beta", type=float, default=2.6)
+    p.add_argument("--lsf", choices=["muse", "gaussian"], default="muse")
+    p.add_argument("--lsf-fwhm", type=float, default=2.5,
+                   help="Gaussian LSF FWHM in Angstrom")
+    p.add_argument("--pixel-scale", type=float, default=0.2)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--metrics", default=None)
+    p.add_argument("--plots", action="store_true")
+
+
+def _build_instrument(args):
+    from . import instruments as ins
+
+    fsf = (
+        ins.MoffatFSF(fwhm=args.fsf_fwhm, beta=args.fsf_beta)
+        if args.fsf == "moffat"
+        else ins.GaussianFSF(fwhm=args.fsf_fwhm)
+    )
+    lsf = (
+        ins.MUSELSF() if args.lsf == "muse"
+        else ins.GaussianLSF(fwhm=args.lsf_fwhm)
+    )
+    return ins.Instrument(fsf=fsf, lsf=lsf, pixel_scale=args.pixel_scale)
+
+
+def cmd_run(args) -> int:
+    from .run import Run
+
+    run = Run(
+        args.cube, _build_instrument(args),
+        max_iterations=args.iterations, burn_in=args.burn_in,
+        n_chains=args.chains, seed=args.seed, sampler=args.sampler,
+        engine=args.engine, positivity=args.positivity,
+        checkpoint_path=args.checkpoint, metrics_path=args.metrics,
+    )
+    run.run()
+    run.save(args.out, plots=args.plots)
+    print(json.dumps(run.diagnostics(), indent=2, default=float))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .cube import Cube
+
+    cube = (Cube.from_npz(args.cube) if args.cube.endswith(".npz")
+            else Cube.from_fits(args.cube))
+    lam = cube.wavelengths()
+    data = np.asarray(cube.data)
+    print(json.dumps({
+        "shape_lyx": list(cube.shape),
+        "lambda_range_A": [float(lam[0]), float(lam[-1])],
+        "cdelt_A": cube.cdelt,
+        "has_variance": cube.variance is not None,
+        "nan_voxels": int(np.isnan(data).sum()),
+        "flux_sum": float(np.nansum(data)),
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="deconv3d_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run a deconvolution")
+    _add_run_args(runp)
+    infop = sub.add_parser("info", help="inspect a cube file")
+    infop.add_argument("--cube", required=True)
+    args = ap.parse_args(argv)
+    if args.cmd == "run":
+        return cmd_run(args)
+    return cmd_info(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""Thin-CLI tests (in-process; the CPU mesh backend from conftest)."""
+
+import json
+import os
+
+import numpy as np
+
+from deconv3d_tpu.__main__ import main
+from deconv3d_tpu.cube import Cube
+
+
+def _write_cube(tmp_path, rng):
+    data = rng.normal(size=(16, 6, 6)).astype(np.float32)
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, 0.04), crval=4750.0, cdelt=1.25
+    )
+    path = str(tmp_path / "in.fits")
+    cube.to_fits(path)
+    return path
+
+
+def test_cli_info(tmp_path, rng, capsys):
+    path = _write_cube(tmp_path, rng)
+    assert main(["info", "--cube", path]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["shape_lyx"] == [16, 6, 6]
+    assert out["has_variance"] is True
+
+
+def test_cli_run(tmp_path, rng, capsys):
+    path = _write_cube(tmp_path, rng)
+    out_prefix = str(tmp_path / "res")
+    rc = main([
+        "run", "--cube", path, "--out", out_prefix,
+        "--iterations", "20", "--fsf", "gaussian", "--fsf-fwhm", "0.5",
+        "--lsf", "gaussian", "--lsf-fwhm", "2.0", "--sampler", "gibbs",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["sweeps"] == 20
+    assert stats["acceptance_rate"] == 1.0
+    for suffix in ("_clean.fits", "_stats.json", "_traces.npz"):
+        assert os.path.exists(out_prefix + suffix)
