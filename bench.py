@@ -56,6 +56,19 @@ def main() -> None:
     # correctness gate rides along: running chi² must equal from-scratch chi²
     chi_run = float(res.state.chi2)
     chi_full = float(sm.full_chi2(problem, res.state))
+
+    # secondary: the exact-Gibbs mode (acceptance 1, per-voxel draws)
+    cfg_g = sm.RunConfig(max_iterations=10_000, burn_in=500, seed=0,
+                         sampler="gibbs")
+    pg = sm.make_problem(cube, inst, cfg_g)
+    rg = sm.run_sweeps(pg, sm.init_state(pg), 50)
+    jax.block_until_ready(rg.state.clean)
+    rg = sm.run_sweeps(pg, rg.state, n_bench)
+    jax.block_until_ready(rg.state.clean)
+    t0 = time.perf_counter()
+    rg = sm.run_sweeps(pg, rg.state, n_bench)
+    jax.block_until_ready(rg.state.clean)
+    gibbs_sps = n_bench / (time.perf_counter() - t0)
     result = {
         "metric": "gibbs_sweeps_per_sec_muse_30x30x600",
         "value": round(sweeps_per_sec, 2),
@@ -70,6 +83,8 @@ def main() -> None:
             float(res.state.n_accept / res.state.n_propose), 4
         ),
         "chi2_consistency": round(abs(chi_run - chi_full) / chi_full, 9),
+        "gibbs_sweeps_per_sec": round(gibbs_sps, 2),
+        "gibbs_voxel_draws_per_sec": round(gibbs_sps * pg.n_valid * L, 0),
     }
     print(json.dumps(result))
 

@@ -32,7 +32,7 @@ def check(name, ok, detail=""):
 
 
 def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
-                   seed=1):
+                   seed=1, sampler="mh"):
     rng = np.random.default_rng(0)
     truth = np.zeros((L, Y, X), np.float32)
     truth[L // 2, Y // 2, X // 2] = 5.0
@@ -46,6 +46,7 @@ def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
     cfg = sm.RunConfig(
         max_iterations=n_sweeps, burn_in=n_sweeps // 4, seed=seed,
         fsf_size=fsf_size, lsf_width=lsf_width, engine="pallas",
+        sampler=sampler,
     )
     p = sm.make_problem(cube, inst, cfg)
     res = sm.run_sweeps(p, sm.init_state(p), n_sweeps)
@@ -61,8 +62,8 @@ def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
     inv_err = np.abs(np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]).max()
     chi_r, chi_f = float(st.chi2), float(sm.full_chi2(p, st))
     ok = check(
-        f"invariant  L={L} {type(fsf).__name__[:6]} var={var}",
-        inv_err / scale < 3e-5 and abs(chi_r - chi_f) / chi_f < 1e-5,
+        f"invariant  L={L} {type(fsf).__name__[:6]} var={var} {sampler}",
+        inv_err / scale < 3e-5 and abs(chi_r - chi_f) / max(chi_f, 1.0) < 2e-5,
         f"resid_err={inv_err:.2e} chi2_rel={(chi_r - chi_f) / chi_f:+.2e} "
         f"acc={float(st.n_accept):.0f}",
     )
@@ -154,6 +155,14 @@ def main():
         ins.MoffatFSF(fwhm=0.66, beta=2.6, lambda_ref=4800.0,
                       fwhm_slope=-3e-5),
         ins.MUSELSF(), 9, 7, 64, 12, 12, 0.25, 100,
+    )
+    # exact-Gibbs mode in the fused kernel (all λ phases per slab visit)
+    ok &= invariant_case(ins.GaussianFSF(fwhm=0.5), ins.GaussianLSF(fwhm=2.0),
+                         5, 5, 16, 6, 6, 0.01, 100, sampler="gibbs")
+    ok &= invariant_case(
+        ins.MoffatFSF(fwhm=0.66, beta=2.6, lambda_ref=4800.0,
+                      fwhm_slope=-3e-5),
+        ins.MUSELSF(), 9, 7, 64, 12, 12, 0.25, 60, sampler="gibbs",
     )
     ok &= statistical_case()
     print("ALL PASS" if ok else "FAILURES")

@@ -67,7 +67,7 @@ def _geometry(f: int, ny: int, nx: int):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
+def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
     nij = ny * nx
     BY, BX, W8, _ = _geometry(f, ny, nx)
     half = lw // 2
@@ -76,7 +76,7 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
 
     def kernel(
         seed_ref, adapt_ref, btile_ref, m2t_ref, spec_ref, lsfT_ref,
-        valid_ref, quadc_ref, ls_in_ref, resid_in_ref, w_ref,
+        valid_ref, quadc_ref, qvoxc_ref, ls_in_ref, resid_in_ref, w_ref,
         dclean_ref, accn_ref, dchia_ref, resid_out_ref, ls_ref,
         resid_vmem, sem_io,
     ):
@@ -105,26 +105,29 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
 
         # ------- RNG: uniforms u in {(2k+1)*2^-25} subset (0,1), never 0.5 -
         pltpu.prng_seed(seed_ref[0] + s * n_colors + c)
-        bits = pltpu.bitcast(pltpu.prng_random_bits((nij, Lp)), jnp.uint32)
-        # top 24 bits → int32 (positive) → f32: Mosaic lacks uint32→f32
-        u = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32).astype(
-            jnp.float32
-        ) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
+
+        def uniforms():
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((nij, Lp)), jnp.uint32
+            )
+            # top 24 bits → int32 (positive) → f32: no uint32→f32 in Mosaic
+            return pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32).astype(
+                jnp.float32
+            ) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
 
         lam_ok = (
             jax.lax.broadcasted_iota(jnp.int32, (nij, Lp), 1) < L
         ).astype(jnp.float32)
-        draw = jnp.clip(
-            jnp.tan(jnp.float32(np.pi) * (u - 0.5)),
-            -_CAUCHY_CLIP, _CAUCHY_CLIP,
-        )
-        jumps = jnp.exp(ls_c) * draw * vmask * lam_ok        # [nij, Lp]
 
-        # ------- spectral stage of the delta: g = LSF (*) jumps (banded) ---
-        jp = jnp.pad(jumps, ((0, 0), (lw, lw)))
-        g = jnp.zeros((nij, Lp), jnp.float32)
-        for d in range(lw):
-            g = g + lsfT_ref[d, :] * jp[:, lw + d - half : lw + d - half + Lp]
+        def lsf_apply(v):
+            """g[μ] = Σ_d lsf[μ,d]·v[μ+d-half] (banded spectral stage)."""
+            vp = jnp.pad(v, ((0, 0), (lw, lw)))
+            out = jnp.zeros((nij, Lp), jnp.float32)
+            for d in range(lw):
+                out = out + lsfT_ref[d, :] * vp[
+                    :, lw + d - half : lw + d - half + Lp
+                ]
+            return out
 
         # ------- pass 1: lin[ij, lam] = sum_s spec * (Btile-pooled patches) -
         # Instead of transposing the slab to patch-major (expensive vector
@@ -165,22 +168,67 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
             lin_parts.append(lin_c)
         lin = jnp.concatenate(lin_parts, axis=1)             # [nij, Lp]
 
-        dchi_vec = g * g * quad_c - 2.0 * g * lin
-        dchi = jnp.sum(dchi_vec, axis=1, keepdims=True)      # [nij, 1]
+        if mode == "mh":
+            # ------- MH: Cauchy spectrum proposal + branchless accept ------
+            u = uniforms()
+            draw = jnp.clip(
+                jnp.tan(jnp.float32(np.pi) * (u - 0.5)),
+                -_CAUCHY_CLIP, _CAUCHY_CLIP,
+            )
+            jumps = jnp.exp(ls_c) * draw * vmask * lam_ok    # [nij, Lp]
+            g = lsf_apply(jumps)
+            dchi_vec = g * g * quad_c - 2.0 * g * lin
+            dchi = jnp.sum(dchi_vec, axis=1, keepdims=True)  # [nij, 1]
+            u2 = uniforms()
+            accf = jnp.where(
+                (jnp.log(u2[:, 0:1]) < -0.5 * dchi) & (vmask > 0), 1.0, 0.0
+            )                                                # [nij, 1]
+            gacc = g * accf                                  # [nij, Lp]
+            emitted = jumps * accf
+            acc_out = jnp.sum(accf)
+            dchi_out = jnp.sum(dchi * accf)
+        else:
+            # ------- exact Gibbs: all lw λ-phases in one slab visit --------
+            # lin updates incrementally after each phase commit at the SAME
+            # spaxels: lin ← lin − g·quad (exact), so the slab is read once
+            # and written once per color for the entire phase loop.
+            qv = qvoxc_ref[:, :, :].reshape(nij, Lp)
+            u1 = uniforms()
+            u2 = uniforms()
+            normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                jnp.float32(2.0 * np.pi) * u2
+            )
+            lam_idx = jax.lax.broadcasted_iota(jnp.int32, (nij, Lp), 1)
+            qv_safe = jnp.maximum(qv, jnp.float32(1e-30))
+            live_all = vmask * lam_ok * jnp.where(qv > 0, 1.0, 0.0)
+            gacc = jnp.zeros((nij, Lp), jnp.float32)
+            emitted = jnp.zeros((nij, Lp), jnp.float32)
+            acc_out = jnp.float32(0.0)
+            dchi_out = jnp.float32(0.0)
+            lsfTp = jnp.pad(lsfT_ref[:, :], ((0, 0), (lw, lw)))
+            for ph in range(lw):
+                sel = jnp.where(lam_idx % lw == ph, 1.0, 0.0) * live_all
+                # linT[l] = Σ_μ M[μ,l]·lin[μ] (transpose band)
+                linT = jnp.zeros((nij, Lp), jnp.float32)
+                lp = jnp.pad(lin, ((0, 0), (lw, lw)))
+                for d in range(lw):
+                    off = lw + half - d
+                    linT = linT + lsfTp[d, off : off + Lp] * lp[
+                        :, off : off + Lp
+                    ]
+                jumps_ph = sel * (
+                    linT / qv_safe + normal * jax.lax.rsqrt(qv_safe)
+                )
+                g_ph = lsf_apply(jumps_ph)
+                dchi_out = dchi_out + jnp.sum(
+                    g_ph * g_ph * quad_c - 2.0 * g_ph * lin
+                )
+                lin = lin - g_ph * quad_c
+                gacc = gacc + g_ph
+                emitted = emitted + jumps_ph
+                acc_out = acc_out + jnp.sum(sel)
 
-        # ------- branchless Metropolis accept -------------------------------
-        bits2 = pltpu.bitcast(
-            pltpu.prng_random_bits((nij, _LANE)), jnp.uint32
-        )
-        u2 = pltpu.bitcast(bits2 >> jnp.uint32(8), jnp.int32).astype(
-            jnp.float32
-        ) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
-        accf = jnp.where(
-            (jnp.log(u2[:, 0:1]) < -0.5 * dchi) & (vmask > 0), 1.0, 0.0
-        )                                                    # [nij, 1]
-
-        # ------- commit: expand accepted deltas into slab coords, subtract -
-        gacc = g * accf                                      # [nij, Lp]
+        # ------- commit: expand deltas into slab coords, subtract -----------
         dims_exp = (((1,), (0,)), ((), ()))                  # contract nx
         for k in range(n_chunks):
             lo = k * chunk
@@ -210,11 +258,12 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, chunk=_LANE):
             ] = cur - delta_wide
 
         # ------- outputs + adaptive scale -----------------------------------
-        dclean_ref[:, :, :, :] = (jumps * accf).reshape(1, 1, 1, nij * Lp)
-        accn_ref[0, 0, 0, 0] = jnp.sum(accf)
-        dchia_ref[0, 0, 0, 0] = jnp.sum(dchi * accf)
-        new_ls = ls_c + adapt_ref[s, 0] * (accf - target) * vmask  # [nij,1]
-        ls_ref[:, :] = jnp.where(onehot > 0, new_ls, ls_ref[:, :])
+        dclean_ref[:, :, :, :] = emitted.reshape(1, 1, 1, nij * Lp)
+        accn_ref[0, 0, 0, 0] = acc_out
+        dchia_ref[0, 0, 0, 0] = dchi_out
+        if mode == "mh":
+            new_ls = ls_c + adapt_ref[s, 0] * (accf - target) * vmask
+            ls_ref[:, :] = jnp.where(onehot > 0, new_ls, ls_ref[:, :])
 
         @pl.when((s == n_sweeps - 1) & (c == n_colors - 1))
         def _finish():
@@ -267,9 +316,14 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
         _cube_layout(p.w_pad, Lp), Wpa - p.Wp
     ).astype(jnp.bfloat16)
 
+    mode = p.config.sampler
     kernel = _make_kernel(
         f=f, ny=ny, nx=nx, L=L, Lp=Lp, lw=lw, S=S,
-        target=float(p.config.target_acceptance),
+        target=float(p.config.target_acceptance), mode=mode,
+    )
+    qvox_k = (
+        _quad_layout(p.qvox.astype(jnp.float32), ny, nx, f, L, Lp)
+        if mode == "gibbs" else quad_k
     )
     out_shapes = (
         jax.ShapeDtypeStruct((n_sweeps, n_colors, 1, nij * Lp), jnp.float32),
@@ -292,6 +346,8 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # valid
             pl.BlockSpec((1, 1, nij * Lp), lambda s, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),                    # quad
+            pl.BlockSpec((1, 1, nij * Lp), lambda s, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),                    # qvox
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # ls_in
             pl.BlockSpec(memory_space=pltpu.ANY),                     # resid_in
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
@@ -315,7 +371,7 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
     )(
         jnp.reshape(seed, (1,)).astype(jnp.int32),
         adapt.astype(jnp.float32).reshape(n_sweeps, 1),
-        btile, m2t, spec, lsfT, valid_k, quad_k, ls_k, resid_k, w_k,
+        btile, m2t, spec, lsfT, valid_k, quad_k, qvox_k, ls_k, resid_k, w_k,
     )
     new_seed = seed + n_sweeps * n_colors
     dclean = dclean.reshape(n_sweeps, n_colors, nij * Lp)
@@ -406,6 +462,13 @@ def _assemble(problem: sm.Problem, state: sm.SamplerState, n_sweeps: int,
 
     dchi_sweep = jnp.sum(dchia, axis=1)                     # [K]
     acc_sweep = jnp.sum(accn, axis=1)                       # [K]
+    if cfg.sampler == "gibbs":
+        # proposals == exact draws == accepted voxels
+        prop_inc = jnp.sum(acc_sweep)
+        acc_trace = jnp.ones_like(acc_sweep)
+    else:
+        prop_inc = jnp.float32(n_sweeps) * n_valid
+        acc_trace = acc_sweep / jnp.maximum(n_valid, 1.0)
 
     def body(carry, xs):
         clean, chi2, chi2c, sum_clean, sum_sq, n_kept = carry
@@ -443,7 +506,7 @@ def _assemble(problem: sm.Problem, state: sm.SamplerState, n_sweeps: int,
             state.log_scale.dtype
         ),
         n_accept=state.n_accept + jnp.sum(acc_sweep),
-        n_propose=state.n_propose + jnp.float32(n_sweeps) * n_valid,
+        n_propose=state.n_propose + prop_inc,
         sum_clean=sum_clean,
         sum_sq=sum_sq,
         n_kept=n_kept,
@@ -452,7 +515,7 @@ def _assemble(problem: sm.Problem, state: sm.SamplerState, n_sweeps: int,
     return sm.ChainResult(
         state=new_state,
         chi2_trace=chi2_t,
-        accept_trace=acc_sweep / jnp.maximum(n_valid, 1.0),
+        accept_trace=acc_trace,
         flux_trace=flux_t,
         monitor_trace=mon_t,
     )

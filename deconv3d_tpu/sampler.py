@@ -212,9 +212,9 @@ def make_problem(
     engine = config.engine
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if engine == "pallas" and (config.positivity or config.sampler == "gibbs"):
-        # the fused kernel implements the MH flat-prior model only (it never
-        # reads the clean cube); other models use the jnp engine.
+    if engine == "pallas" and config.positivity:
+        # the fused kernel never reads the clean cube, so the reflective
+        # positivity proposal runs on the jnp engine.
         engine = "jnp"
     config = dataclasses.replace(config, engine=engine)
     fsf_spec = fsf_imgs = None
