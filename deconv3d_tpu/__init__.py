@@ -24,7 +24,9 @@ from .instruments import (
     MoffatFSF, GaussianFSF, NoFSF, MUSELSF, GaussianLSF, NoLSF,
 )
 from .convolve import convolve_cube
-from .sampler import RunConfig, SamplerState, init_state, run_sweeps, ChainResult
+from .sampler import (
+    RunConfig, SamplerState, make_problem, init_state, run_sweeps, ChainResult,
+)
 from .chains import MultiChainResult, gelman_rubin, run_chains
 from .run import Run
 
@@ -39,6 +41,6 @@ __all__ = [
     "GaussianLineSpreadFunction", "NoLineSpreadFunction",
     "MoffatFSF", "GaussianFSF", "NoFSF", "MUSELSF", "GaussianLSF", "NoLSF",
     "convolve_cube",
-    "SamplerState", "init_state", "run_sweeps", "ChainResult",
+    "SamplerState", "make_problem", "init_state", "run_sweeps", "ChainResult",
     "MultiChainResult", "gelman_rubin", "run_chains",
 ]

@@ -10,6 +10,8 @@ sample size computed from per-sweep traces.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import warnings
 from typing import Dict, Optional
 
 import jax
@@ -171,8 +173,18 @@ def run_chains(
         )
         return MultiChainResult(result=stacked)
 
-    if mesh is None and len(jax.devices()) > 1 and n_chains % len(jax.devices()) == 0:
-        mesh = make_mesh(axis_name=axis_name)
+    if mesh is None and len(jax.devices()) > 1:
+        ndev = len(jax.devices())
+        if n_chains % ndev == 0:
+            mesh = make_mesh(axis_name=axis_name)
+        else:
+            warnings.warn(
+                f"n_chains={n_chains} is not divisible by the device count "
+                f"{ndev}; chains will run UNSHARDED on one device. Pad "
+                f"n_chains to a multiple of {ndev} (or pass an explicit "
+                "mesh) to use the whole slice.",
+                stacklevel=2,
+            )
     if mesh is not None:
         sharding = NamedSharding(mesh, P(axis_name))
         states = jax.device_put(
@@ -180,8 +192,14 @@ def run_chains(
             jax.tree_util.tree_map(lambda _: sharding, states),
         )
 
-    batched = jax.jit(
-        jax.vmap(lambda s: sm.run_sweeps(problem, s, n_sweeps)),
-        static_argnums=(),
-    )
-    return MultiChainResult(result=batched(states))
+    return MultiChainResult(result=_batched_run(problem, states, n_sweeps))
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def _batched_run(
+    problem: sm.Problem, states: sm.SamplerState, n_sweeps: int
+) -> sm.ChainResult:
+    """Module-level jitted batched runner: segmented Run.run() calls reuse
+    the compiled executable instead of retracing per segment (the Problem's
+    geometry/config ride in static metadata, so the cache key is right)."""
+    return jax.vmap(lambda s: sm.run_sweeps(problem, s, n_sweeps))(states)

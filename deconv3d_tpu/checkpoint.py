@@ -22,17 +22,22 @@ import numpy as np
 from .sampler import SamplerState
 
 
+def _normalize(path: str) -> str:
+    """np.savez appends '.npz' to extensionless paths; load must match."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: SamplerState, meta: dict | None = None) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(state)
     payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     payload["treedef"] = np.array(str(treedef))
     payload["meta"] = np.array(json.dumps(meta or {}))
-    np.savez(path, **payload)
+    np.savez(_normalize(path), **payload)
 
 
 def load_state(path: str, like: SamplerState) -> Tuple[SamplerState, dict]:
     """Restore state into the structure of ``like`` (shape/dtype template)."""
-    with np.load(path) as z:
+    with np.load(_normalize(path)) as z:
         like_leaves, treedef = jax.tree_util.tree_flatten(like)
         if str(treedef) != str(z["treedef"]):
             raise ValueError(

@@ -47,7 +47,7 @@ def convolve_cube_sharded(
     L, Y, X = clean.shape
     if L % ndev or Y % ndev:
         raise ValueError(
-            f"L={L} and Y={Y} must divide the mesh axis size {ndev}"
+            f"L={L} and Y={Y} must be divisible by the mesh axis size {ndev}"
         )
 
     spec_lam = P(axis_name, None, None)

@@ -321,10 +321,16 @@ def init_state(problem: Problem, cube: Optional[Cube] = None) -> SamplerState:
     dtype = cfg.dtype
     h = p.f // 2
     clean = jnp.zeros((p.L, p.Yc, p.Xc), dtype=dtype)
-    if cfg.initial == "data" and cube is not None:
-        clean = clean.at[:, : p.Y, : p.X].set(
+    if cfg.initial == "data":
+        # The observed data is already stored in the Problem (padded grid),
+        # so initial='data' needs no cube argument; an explicit cube (e.g. a
+        # prior model) overrides it.
+        init_data = (
             jnp.nan_to_num(jnp.asarray(cube.data, dtype=dtype))
+            if cube is not None
+            else p.data_pad[:, h : h + p.Y, h : h + p.X].astype(dtype)
         )
+        clean = clean.at[:, : p.Y, : p.X].set(init_data)
 
     conv = cv.convolve_cube(clean[:, : p.Y, : p.X], p.fsf, p.lsf)
     resid = p.data_pad.at[:, h : h + p.Y, h : h + p.X].add(-conv)

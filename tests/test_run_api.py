@@ -155,3 +155,73 @@ def test_run_variance_mask_override(rng):
               fsf_size=5, lsf_width=5, dtype=np.float64)
     run.run()
     assert (np.asarray(run.states.clean)[:, :, 1, 1] == 0).all()
+
+
+def test_initial_data_nonzero_start(rng):
+    """ADVICE r1 (medium): initial='data' must seed chains from the observed
+    cube — both through init_state without an explicit cube (the data lives
+    in the Problem) and through the Run facade."""
+    cube, inst, _ = _make_toy(rng, noise=0.2)
+    cfg = sm.RunConfig(max_iterations=10, initial="data",
+                       fsf_size=5, lsf_width=5, dtype=np.float64)
+    problem = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(problem)  # no cube passed — the reported bug path
+    p = problem
+    clean = np.asarray(state.clean)[:, : p.Y, : p.X]
+    assert np.abs(clean).sum() > 0
+    np.testing.assert_allclose(clean, np.asarray(cube.data), atol=1e-12)
+
+    run = Run(cube, inst, max_iterations=4, initial="data",
+              fsf_size=5, lsf_width=5, dtype=np.float64)
+    assert np.abs(np.asarray(run.states.clean)).sum() > 0
+
+
+def test_checkpoint_extensionless_path(tmp_path, rng):
+    """ADVICE r1 (low): save appends .npz, load must find the same file."""
+    cube, inst, _ = _make_toy(rng)
+    cfg = sm.RunConfig(max_iterations=4, fsf_size=5, lsf_width=5,
+                       dtype=np.float64)
+    problem = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(problem)
+    path = str(tmp_path / "ck")  # no extension
+    ckpt.save_state(path, state, meta={"k": 1})
+    restored, meta = ckpt.load_state(path, state)
+    assert meta == {"k": 1}
+    np.testing.assert_array_equal(
+        np.asarray(restored.clean), np.asarray(state.clean))
+
+
+def test_run_chains_warns_on_indivisible(rng):
+    """VERDICT r1 weak #5: indivisible n_chains must warn, not silently
+    fall back to one device."""
+    import warnings as _w
+    from deconv3d_tpu import chains as ch
+
+    cube, inst, _ = _make_toy(rng)
+    cfg = sm.RunConfig(max_iterations=2, fsf_size=5, lsf_width=5,
+                       dtype=np.float64)
+    problem = sm.make_problem(cube, inst, cfg)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ch.run_chains(problem, n_chains=3, n_sweeps=2)  # 3 % 8 != 0
+    assert any("not divisible" in str(w.message) for w in rec)
+
+
+def test_make_problem_exported():
+    import deconv3d_tpu as d3d
+
+    assert "make_problem" in d3d.__all__
+    assert d3d.make_problem is sm.make_problem
+
+
+def test_segmented_run_reuses_compiled_executable(rng):
+    """ADVICE r1 (low): segments must not retrace the batched runner."""
+    from deconv3d_tpu import chains as ch
+
+    cube, inst, _ = _make_toy(rng)
+    run = Run(cube, inst, max_iterations=12, burn_in=4, segment_size=4,
+              n_chains=2, fsf_size=5, lsf_width=5, dtype=np.float64)
+    before = ch._batched_run._cache_size()
+    run.run()  # 3 segments of identical shape
+    after = ch._batched_run._cache_size()
+    assert after - before <= 1
