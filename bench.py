@@ -79,7 +79,11 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "engine": problem.config.engine,
         "footprint": problem.f,
-        "acceptance": round(
+        # steady-state acceptance: mean of the per-sweep trace over the last
+        # timed window (the Robbins-Monro tail must hold the 0.234 target;
+        # the cumulative counter below includes the cold-start transient).
+        "acceptance": round(float(np.mean(np.asarray(res.accept_trace))), 4),
+        "acceptance_cumulative": round(
             float(res.state.n_accept / res.state.n_propose), 4
         ),
         "chi2_consistency": round(abs(chi_run - chi_full) / chi_full, 9),

@@ -133,6 +133,17 @@ class Run:
             self.states = mc.result.state
             jax.block_until_ready(self.states.chi2)
             dt = time.time() - t0
+            # NaN guard (SURVEY.md §5.2): the per-segment chi² must stay
+            # finite; a NaN/Inf here means diverged numerics (bad variance
+            # cube, mistuned jumps) and would silently poison every later
+            # segment and the posterior accumulators.
+            chi2_now = np.asarray(self.states.chi2)
+            if not np.all(np.isfinite(chi2_now)):
+                raise FloatingPointError(
+                    f"non-finite chi² after sweep {self.sweeps_done}: "
+                    f"{chi2_now!r} — run diverged (check variance cube and "
+                    "jump_amplitude); state left intact for inspection"
+                )
             done += n
             self._last_result = mc
             self._traces["chi2"].append(np.asarray(mc.result.chi2_trace))

@@ -24,6 +24,11 @@ jax.config.update("jax_platforms", "cpu")
 # test suite in x64.  (TPU float32 behaviour is covered by tolerance tests.)
 jax.config.update("jax_enable_x64", True)
 
+# SURVEY.md §5.2: trap NaNs at the primitive level throughout CI.  Any test
+# that legitimately manufactures NaNs (e.g. cube sanitization) must scope
+# them with the no_debug_nans fixture below.
+jax.config.update("jax_debug_nans", True)
+
 import numpy as np
 import pytest
 
