@@ -161,16 +161,18 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
         # Instead of transposing the slab to patch-major (expensive vector
         # relayouts), tile the FSF image into slab coordinates and roll the
         # *tiny constant patterns* by the color offset: the contraction
-        # becomes elementwise multiply + outer-dim block sums + one small
-        # MXU matmul per block row.  (pltpu.roll miscompiles for negative
-        # dynamic shifts on this toolchain — positive shifts only.)
+        # becomes elementwise multiply + block sums + a masked sublane
+        # reduction per x-block (pure VPU — no tiny-output MXU matmuls, and
+        # every op batches over any leading chain dim).  (pltpu.roll
+        # miscompiles for negative dynamic shifts on this toolchain —
+        # positive shifts only.)
         quad_c = quadc_ref[:, :, :].reshape(nij, Lp)
         bt_w = [
             pltpu.roll(btile_ref[si, :, :, :], sh, axis=1)   # [BY, W8, 1]
             for si in range(S)
         ]
         m2t_w = pltpu.roll(m2t_ref[:, :], sh, axis=0)        # [W8, nx]
-        dims_lin = (((0,), (0,)), ((), ()))                  # contract W8
+        xmask = [m2t_w[:, j : j + 1] for j in range(nx)]     # [W8, 1] each
         lin_parts = []
         for k in range(n_chunks):
             lo = k * chunk
@@ -182,17 +184,14 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
             for si in range(S):
                 t = rw_wide * bt_w[si]                       # [BY, W8, ck]
                 ty = t.reshape(ny, f, W8, chunk).sum(axis=1) # [ny, W8, ck]
-                rows = [
-                    jax.lax.dot_general(
-                        m2t_w, ty[i], dims_lin,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )                                        # [nx, ck]
-                    for i in range(ny)
-                ]
-                lin_c = lin_c + jnp.expand_dims(spec_c[si], 0) * (
-                    jnp.concatenate(rows, axis=0)            # [nij, ck]
-                )
+                pooled = jnp.stack(
+                    [
+                        jnp.sum(ty * xmask[j][None], axis=1) # [ny, ck]
+                        for j in range(nx)
+                    ],
+                    axis=1,
+                ).reshape(nij, chunk)                        # rows ij = i*nx+j
+                lin_c = lin_c + jnp.expand_dims(spec_c[si], 0) * pooled
             lin_parts.append(lin_c)
         lin = jnp.concatenate(lin_parts, axis=1)             # [nij, Lp]
 
@@ -257,24 +256,23 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
                 acc_out = acc_out + jnp.sum(sel)
 
         # ------- commit: expand deltas into slab coords, subtract -----------
-        dims_exp = (((1,), (0,)), ((), ()))                  # contract nx
         for k in range(n_chunks):
             lo = k * chunk
             spec_c = spec_ref[:, pl.ds(lo, chunk)]           # [S, ck]
             gacc_c = jax.lax.slice_in_dim(gacc, lo, lo + chunk, axis=1)
             delta_wide = jnp.zeros((BY, W8, chunk), jnp.float32)
             for si in range(S):
-                gs = jnp.expand_dims(spec_c[si], 0) * gacc_c  # [nij, ck]
-                eb = [
-                    jax.lax.dot_general(
-                        m2t_w, gs[i * nx : (i + 1) * nx], dims_exp,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )                                        # [W8, ck]
-                    for i in range(ny)
-                ]
+                gs = (jnp.expand_dims(spec_c[si], 0) * gacc_c).reshape(
+                    ny, nx, chunk
+                )
+                # eb[i] = sum_j xmask[j]·gs[i, j]: two fused multiply-adds
+                # on [ny, W8, ck] instead of ny tiny MXU matmuls.
+                eb = sum(
+                    xmask[j][None] * gs[:, j : j + 1, :]     # [ny, W8, ck]
+                    for j in range(nx)
+                )
                 ebig = jnp.broadcast_to(
-                    jnp.stack(eb, axis=0)[:, None],          # [ny, 1, W8, ck]
+                    eb[:, None],                             # [ny, 1, W8, ck]
                     (ny, f, W8, chunk),
                 ).reshape(BY, W8, chunk)
                 delta_wide = delta_wide + ebig * bt_w[si]

@@ -1,0 +1,352 @@
+"""Spatially-sharded sampling: ONE chain's Gibbs sweep spans the device mesh.
+
+SURVEY.md §7 step 7 / §5.7(c): for fields too large for a single chip, the
+spaxel grid is sharded along Y across devices and the color-decomposed sweep
+(sampler.py) runs on every shard simultaneously.  Correctness at shard
+edges: a spaxel's FSF patch extends f-1 padded rows beyond its own row, so
+edge updates must reach the neighbour's residual rows.
+
+Design (halo-replicated residual + per-color delta exchange over ICI):
+
+  * Each device owns spaxel color-rows [d·nyl, (d+1)·nyl) and stores the
+    padded residual rows [d·nyl·f, d·nyl·f + nyl·f + f-1) — the last f-1
+    rows REPLICATE the next device's first f-1 rows (invariant: replicas
+    always hold identical values, like the zero pads of the single-device
+    layout).
+  * Same-color spaxels are exactly f apart globally, so their patches stay
+    disjoint ACROSS shard boundaries too — the color decomposition's
+    correctness argument survives sharding unchanged.
+  * After each color's accepted updates, the local patch-delta slab's top
+    and bottom f-1 rows are pushed to the neighbours with a ``ppermute``
+    ring (parallel.sharded.halo_exchange) and added there, restoring the
+    replica invariant before the next color reads.
+
+RNG: every device draws the FULL (ny, nx, L) proposal tensor from the same
+key and slices its own rows — wasteful by a factor D on a (cheap) proposal
+draw, but it makes the sharded chain draw-for-draw IDENTICAL to the
+single-device jnp engine, which is the strongest possible correctness test
+(test_sweep_sharded.py asserts bit-level equality of clean/resid).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import sampler as sm
+from .sharded import halo_exchange
+
+
+# ---------------------------------------------------------------------------
+# Overlap (halo-replicated) layout helpers
+# ---------------------------------------------------------------------------
+
+def overlap_shard(resid: jax.Array, f: int, ndev: int) -> jax.Array:
+    """[L, Hp, Wp] -> [L, ndev·Hpl, Wp] with per-device halo replication.
+
+    Device block d holds padded rows [d·nyl·f, d·nyl·f + Hpl) of the global
+    residual, Hpl = nyl·f + f - 1; consecutive blocks overlap by f-1 rows.
+    """
+    L, Hp, Wp = resid.shape
+    BY = Hp - (f - 1)
+    if BY % ndev:
+        raise ValueError(f"Yc={BY} must be divisible by the mesh size {ndev}")
+    BYl = BY // ndev
+    Hpl = BYl + f - 1
+    blocks = [
+        jax.lax.dynamic_slice_in_dim(resid, d * BYl, Hpl, axis=1)
+        for d in range(ndev)
+    ]
+    return jnp.concatenate(blocks, axis=1)
+
+
+def overlap_unshard(resid_sh: jax.Array, f: int, ndev: int) -> jax.Array:
+    """Inverse of overlap_shard: drop the replicated rows."""
+    L, tot, Wp = resid_sh.shape
+    Hpl = tot // ndev
+    BYl = Hpl - (f - 1)
+    parts = [
+        jax.lax.dynamic_slice_in_dim(resid_sh, d * Hpl, BYl, axis=1)
+        for d in range(ndev)
+    ]
+    # the global tail pad rows live only in the last device's block
+    tail = jax.lax.dynamic_slice_in_dim(
+        resid_sh, (ndev - 1) * Hpl + BYl, f - 1, axis=1
+    )
+    return jnp.concatenate(parts + [tail], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# The sharded sweep
+# ---------------------------------------------------------------------------
+
+def run_sweeps_sharded(
+    problem: sm.Problem,
+    state: sm.SamplerState,
+    n_sweeps: int,
+    mesh: Mesh,
+    axis_name: str = "sp",
+) -> sm.ChainResult:
+    """Run ``n_sweeps`` full sweeps of ONE chain sharded over ``mesh``.
+
+    Input/output state uses the standard single-device layout; sharding and
+    unsharding happen at the boundary of this call (the amortised cost of a
+    long segment).  Only the 'mh' sampler is supported (the exact-Gibbs
+    λ-phase loop shards identically but is not wired yet).
+    """
+    p = problem
+    cfg = p.config
+    if cfg.sampler != "mh":
+        raise NotImplementedError(
+            "spatially-sharded sampling currently supports sampler='mh'"
+        )
+    ndev = mesh.shape[axis_name]
+    if p.ny % ndev:
+        raise ValueError(
+            f"ny={p.ny} color-rows must be divisible by the mesh size {ndev}"
+        )
+    nyl = p.ny // ndev
+    f = p.f
+    BYl = nyl * f
+    Hpl = BYl + f - 1
+
+    resid_sh = overlap_shard(state.resid, f, ndev)
+    w_sh = overlap_shard(p.w_pad, f, ndev)
+
+    shard_y = NamedSharding(mesh, P(None, axis_name, None))
+    shard_yx = NamedSharding(mesh, P(axis_name, None))
+    repl = NamedSharding(mesh, P())
+
+    sweep_fn = _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps)
+    idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
+    adapt = sm.adapt_schedule(idx, cfg)
+    burn = cfg.resolved_burn_in()
+    keep = jnp.where(
+        (idx >= burn) & ((idx - burn) % cfg.keep_one_in == 0), 1.0, 0.0
+    ).astype(jnp.float32)
+
+    args = (
+        jax.device_put(resid_sh, shard_y),
+        jax.device_put(state.clean, shard_y),
+        jax.device_put(state.log_scale, shard_yx),
+        jax.device_put(state.sum_clean, shard_y),
+        jax.device_put(state.sum_sq, shard_y),
+        jax.device_put(w_sh, shard_y),
+        jax.device_put(p.quad, shard_y),
+        jax.device_put(p.valid, shard_yx),
+        jax.device_put(state.key, repl),
+        jax.device_put(state.chi2, repl),
+        jax.device_put(state.chi2_comp, repl),
+        jax.device_put(adapt, repl),
+        jax.device_put(keep, repl),
+    )
+    (resid_out, clean, log_scale, sum_clean, sum_sq, key, chi2, chi2c,
+     acc, nprop, chi2_t, acc_t, flux_t, mon_t) = sweep_fn(*args)
+
+    new_state = sm.SamplerState(
+        clean=clean,
+        resid=overlap_unshard(resid_out, f, ndev),
+        key=key,
+        chi2=chi2,
+        chi2_comp=chi2c,
+        log_scale=log_scale,
+        n_accept=state.n_accept + acc,
+        n_propose=state.n_propose + nprop,
+        sum_clean=sum_clean,
+        sum_sq=sum_sq,
+        n_kept=state.n_kept + jnp.sum(keep),
+        sweep=state.sweep + n_sweeps,
+    )
+    return sm.ChainResult(
+        state=new_state, chi2_trace=chi2_t, accept_trace=acc_t,
+        flux_trace=flux_t, monitor_trace=mon_t,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_sharded_sweeps(problem_key, mesh_key, axis_name, ndev, n_sweeps):
+    raise RuntimeError  # placeholder; real cache below keys on call site
+
+
+def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    nyl = ny // ndev
+    BYl = nyl * f
+    Hpl = BYl + f - 1
+    cfg = p.config
+    target = cfg.target_acceptance
+    halo = f - 1
+    lsf = p.lsf
+    monitor_idx = np.asarray(p.monitor_idx)
+    Yc, Xc = p.Yc, p.Xc
+
+    def color_step(carry, color):
+        (resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate,
+         quad, valid, w, dev) = carry
+        cy, cx = color // f, color % f
+
+        valid_c = sm._color_slice(valid, cy, cx, nyl, nx, f)
+        scale_c = sm._color_slice(log_scale, cy, cx, nyl, nx, f)
+
+        # --- proposals: full-grid draw, local slice (bit-matches the
+        # single-device engine; see module docstring)
+        key, k1, k2 = jax.random.split(key, 3)
+        draw_full = jax.random.cauchy(k1, (ny, nx, L), dtype=resid.dtype)
+        draw = jax.lax.dynamic_slice_in_dim(
+            jnp.clip(draw_full, -1e3, 1e3), dev * nyl, nyl, axis=0
+        )
+        jumps = jnp.exp(scale_c)[..., None] * draw
+        jumps = jnp.where(valid_c[..., None], jumps, 0.0)
+        if cfg.positivity:
+            cur = jnp.moveaxis(
+                sm._color_slice(clean, cy, cx, nyl, nx, f), 0, -1
+            )
+            jumps = jnp.abs(cur + jumps) - cur
+
+        g = sm._lsf_apply_lastaxis(jumps, lsf)
+
+        block = jax.lax.dynamic_slice(
+            resid, (sm._i32(0), sm._i32(cy), sm._i32(cx)),
+            (L, nyl * f, nx * f),
+        ).reshape(L, nyl, f, nx, f)
+        wblock = jax.lax.dynamic_slice(
+            w, (sm._i32(0), sm._i32(cy), sm._i32(cx)), (L, nyl * f, nx * f)
+        ).reshape(L, nyl, f, nx, f)
+
+        quad_c = sm._color_slice(quad, cy, cx, nyl, nx, f)
+        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock,
+                         precision=jax.lax.Precision.HIGHEST)
+        dchi2 = jnp.einsum("yxl,lyx->yx", g * g, quad_c,
+                           precision=jax.lax.Precision.HIGHEST
+                           ) - 2.0 * jnp.einsum(
+            "yxl,lyx->yx", g, lin, precision=jax.lax.Precision.HIGHEST)
+
+        logu_full = jnp.log(jax.random.uniform(
+            k2, (ny, nx), dtype=resid.dtype, minval=1e-37))
+        logu = jax.lax.dynamic_slice_in_dim(logu_full, dev * nyl, nyl, axis=0)
+        accept = (logu < -0.5 * dchi2) & valid_c
+        accf = accept.astype(resid.dtype)
+
+        # --- local patch delta + halo push to the replicated rows ---------
+        delta = jnp.einsum("yxl,lab->lyaxb", g * accf[..., None], p.fsf,
+                           precision=jax.lax.Precision.HIGHEST
+                           ).reshape(L, nyl * f, nx * f)
+        dslab = jnp.zeros((L, Hpl, resid.shape[2]), resid.dtype)
+        dslab = jax.lax.dynamic_update_slice(
+            dslab, delta, (sm._i32(0), sm._i32(cy), sm._i32(cx))
+        )
+        resid = resid - dslab
+        if halo > 0:
+            from_prev, from_next = halo_exchange(
+                dslab, halo, axis_name=axis_name, edge_axis=1
+            )
+            # prev's tail delta rows land on my first f-1 rows; next's top
+            # delta rows land on my replicated tail rows.
+            top = jax.lax.slice_in_dim(resid, 0, halo, axis=1) - from_prev
+            bot = jax.lax.slice_in_dim(resid, BYl, Hpl, axis=1) - from_next
+            resid = jax.lax.dynamic_update_slice_in_dim(resid, top, 0, axis=1)
+            resid = jax.lax.dynamic_update_slice_in_dim(
+                resid, bot, BYl, axis=1
+            )
+
+        clean_c = sm._color_slice(clean, cy, cx, nyl, nx, f)
+        clean = sm._color_update(
+            clean, clean_c + jnp.moveaxis(jumps * accf[..., None], -1, 0),
+            cy, cx, nyl, nx, f,
+        )
+
+        dchi2_tot = jax.lax.psum(
+            jnp.sum(jnp.where(accept, dchi2, 0.0), dtype=jnp.float32),
+            axis_name,
+        )
+        y = dchi2_tot - chi2c
+        t = chi2 + y
+        chi2c = (t - chi2) - y
+        chi2 = t
+
+        log_scale = sm._color_update(
+            log_scale,
+            scale_c + adapt_rate * jnp.where(valid_c, accf - target, 0.0),
+            cy, cx, nyl, nx, f,
+        )
+        acc = acc + jax.lax.psum(jnp.sum(accf, dtype=jnp.float32), axis_name)
+        nprop = nprop + jax.lax.psum(
+            jnp.sum(valid_c, dtype=jnp.float32), axis_name
+        )
+        return (resid, clean, key, chi2, chi2c, log_scale, acc, nprop,
+                adapt_rate, quad, valid, w, dev), None
+
+    def monitor_vals(clean, dev):
+        """Per-sweep monitored voxels, psum-gathered from the owning shard."""
+        vals = []
+        for k in range(len(monitor_idx)):
+            idx = int(monitor_idx[k])
+            lam, rest = divmod(idx, Yc * Xc)
+            yy, xx = divmod(rest, Xc)
+            ly = yy - dev * BYl
+            ok = (ly >= 0) & (ly < BYl)
+            v = jax.lax.dynamic_slice(
+                clean,
+                (sm._i32(lam), jnp.clip(sm._i32(ly), 0, BYl - 1), sm._i32(xx)),
+                (1, 1, 1),
+            ).reshape(())
+            vals.append(jnp.where(ok, v, 0.0))
+        return jax.lax.psum(jnp.stack(vals), axis_name)
+
+    spec_y = P(None, axis_name, None)
+    spec_yx = P(axis_name, None)
+
+    @functools.partial(
+        jax.jit,
+    )
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec_y, spec_y, spec_yx, spec_y, spec_y, spec_y, spec_y,
+                  spec_yx, P(), P(), P(), P(), P()),
+        out_specs=(spec_y, spec_y, spec_yx, spec_y, spec_y, P(), P(), P(),
+                   P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def sweeps(resid, clean, log_scale, sum_clean, sum_sq, w, quad, valid,
+               key, chi2, chi2c, adapt, keep):
+        dev = jax.lax.axis_index(axis_name)
+        validf = valid.astype(cfg.dtype)
+        codes = jnp.arange(f * f, dtype=jnp.int32)
+
+        def sweep(carry, xs):
+            (resid, clean, key, chi2, chi2c, log_scale, sum_clean, sum_sq,
+             acc0, nprop0) = carry
+            adapt_t, keep_t = xs
+            inner = (resid, clean, key, chi2, chi2c, log_scale,
+                     jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                     adapt_t, quad, valid, w, dev)
+            inner, _ = jax.lax.scan(color_step, inner, codes)
+            (resid, clean, key, chi2, chi2c, log_scale, acc, nprop,
+             *_rest) = inner
+            kc = keep_t.astype(clean.dtype)
+            sum_clean = sum_clean + kc * clean
+            sum_sq = sum_sq + kc * clean * clean
+            flux = jax.lax.psum(
+                jnp.sum(clean * validf[None], dtype=jnp.float32), axis_name
+            )
+            trace = (chi2, acc / jnp.maximum(nprop, 1.0), flux,
+                     monitor_vals(clean, dev))
+            return (resid, clean, key, chi2, chi2c, log_scale, sum_clean,
+                    sum_sq, acc0 + acc, nprop0 + nprop), trace
+
+        init = (resid, clean, key, chi2, chi2c, log_scale, sum_clean, sum_sq,
+                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        (resid, clean, key, chi2, chi2c, log_scale, sum_clean, sum_sq, acc,
+         nprop), (chi2_t, acc_t, flux_t, mon_t) = jax.lax.scan(
+            sweep, init, (adapt, keep)
+        )
+        return (resid, clean, log_scale, sum_clean, sum_sq, key, chi2, chi2c,
+                acc, nprop, chi2_t, acc_t, flux_t, mon_t)
+
+    return sweeps
