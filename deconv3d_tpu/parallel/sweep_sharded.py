@@ -168,11 +168,6 @@ def run_sweeps_sharded(
     )
 
 
-@functools.lru_cache(maxsize=32)
-def _cached_sharded_sweeps(problem_key, mesh_key, axis_name, ndev, n_sweeps):
-    raise RuntimeError  # placeholder; real cache below keys on call site
-
-
 def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
     nyl = ny // ndev
@@ -301,9 +296,7 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
     spec_y = P(None, axis_name, None)
     spec_yx = P(axis_name, None)
 
-    @functools.partial(
-        jax.jit,
-    )
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -311,7 +304,6 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
                   spec_yx, P(), P(), P(), P(), P()),
         out_specs=(spec_y, spec_y, spec_yx, spec_y, spec_y, P(), P(), P(),
                    P(), P(), P(), P(), P(), P()),
-        check_vma=False,
     )
     def sweeps(resid, clean, log_scale, sum_clean, sum_sq, w, quad, valid,
                key, chi2, chi2c, adapt, keep):
