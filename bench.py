@@ -69,6 +69,19 @@ def main() -> None:
     rg = sm.run_sweeps(pg, rg.state, n_bench)
     jax.block_until_ready(rg.state.clean)
     gibbs_sps = n_bench / (time.perf_counter() - t0)
+
+    # config #3: 32 vmapped chains — aggregate chain-sweeps/s through the
+    # chain-batched kernel (BASELINE.json:9; VERDICT r1 next #2)
+    from deconv3d_tpu import chains as chn
+
+    n_mc = 64
+    states32 = chn.init_chain_states(pg, 32)
+    mc = chn.run_chains(pg, 32, n_sweeps=n_mc, states=states32)
+    jax.block_until_ready(mc.result.state.clean)
+    t0 = time.perf_counter()
+    mc = chn.run_chains(pg, 32, n_sweeps=n_mc, states=mc.result.state)
+    jax.block_until_ready(mc.result.state.clean)
+    mc_aggregate = 32 * n_mc / (time.perf_counter() - t0)
     result = {
         "metric": "gibbs_sweeps_per_sec_muse_30x30x600",
         "value": round(sweeps_per_sec, 2),
@@ -89,6 +102,8 @@ def main() -> None:
         "chi2_consistency": round(abs(chi_run - chi_full) / chi_full, 9),
         "gibbs_sweeps_per_sec": round(gibbs_sps, 2),
         "gibbs_voxel_draws_per_sec": round(gibbs_sps * pg.n_valid * L, 0),
+        "chains32_aggregate_sweeps_per_sec": round(mc_aggregate, 1),
+        "chains32_vs_single": round(mc_aggregate / gibbs_sps, 2),
     }
     print(json.dumps(result))
 

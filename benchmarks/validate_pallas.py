@@ -144,6 +144,69 @@ def statistical_case():
     )
 
 
+def multichain_case(n_chains=8, sampler="mh", n_sweeps=100):
+    """Batched-chains kernel (config #3): per-chain invariant + determinism
+    + distinct chains, through the chains layer's grouped kernel path."""
+    from deconv3d_tpu import chains as chn
+
+    rng = np.random.default_rng(3)
+    L, Y, X = 16, 6, 6
+    var = 0.01
+    truth = np.zeros((L, Y, X), np.float32)
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.5), lsf=ins.GaussianLSF(fwhm=2.0)
+    )
+    data = truth + np.sqrt(var) * rng.standard_normal((L, Y, X)).astype(
+        np.float32
+    )
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, var), crval=4750.0, cdelt=1.25
+    )
+    cfg = sm.RunConfig(
+        max_iterations=n_sweeps, burn_in=n_sweeps // 4, seed=7,
+        fsf_size=5, lsf_width=5, engine="pallas", sampler=sampler,
+    )
+    p = sm.make_problem(cube, inst, cfg)
+    states = chn.init_chain_states(p, n_chains)
+    mc = chn.run_chains(p, n_chains, n_sweeps=n_sweeps, states=states)
+    st = mc.result.state
+    h = p.f // 2
+    ok = True
+    worst = 0.0
+    for i in range(n_chains):
+        conv = cv.convolve_cube(st.clean[i][:, : p.Y, : p.X], p.fsf, p.lsf)
+        model = (
+            p.data_pad[:, h : h + p.Y, h : h + p.X]
+            - st.resid[i][:, h : h + p.Y, h : h + p.X]
+        )
+        w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X])
+        scale = float(np.abs(np.asarray(conv)).max()) or 1.0
+        err = np.abs(
+            np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]
+        ).max() / scale
+        worst = max(worst, err)
+        chi_r, chi_f = float(st.chi2[i]), float(sm.full_chi2(p, jax.tree_util.tree_map(lambda x: x[i], st)))
+        ok &= err < 3e-5 and abs(chi_r - chi_f) / max(chi_f, 1.0) < 2e-5
+    ok = check(
+        f"multichain invariant  {n_chains} chains {sampler}",
+        ok, f"worst_resid_err={worst:.2e}",
+    )
+    # chains must be DISTINCT samples
+    ok &= check(
+        "  chains distinct",
+        not bool(jnp.array_equal(st.clean[0], st.clean[1])),
+    )
+    # determinism of the whole batched run
+    mc2 = chn.run_chains(p, n_chains, n_sweeps=n_sweeps,
+                         states=chn.init_chain_states(p, n_chains))
+    ok &= check(
+        "  deterministic",
+        bool(jnp.array_equal(st.clean, mc2.result.state.clean)),
+    )
+    return ok
+
+
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU"
     ok = True
@@ -164,6 +227,8 @@ def main():
                       fwhm_slope=-3e-5),
         ins.MUSELSF(), 9, 7, 64, 12, 12, 0.25, 60, sampler="gibbs",
     )
+    ok &= multichain_case(8, "mh")
+    ok &= multichain_case(8, "gibbs", n_sweeps=60)
     ok &= statistical_case()
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1

