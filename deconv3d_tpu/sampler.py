@@ -81,7 +81,12 @@ class RunConfig:
     # Robbins-Monro range; None/0 freezes at burn-in (round-1 behaviour).
     adapt_decay: Optional[float] = 0.7
     positivity: bool = False               # optional positivity constraint
-    sampler: str = "mh"                    # 'mh' | 'gibbs' (exact voxel draws)
+    # 'mh'          single-site MH spectrum proposals (reference parity)
+    # 'gibbs'       exact single-voxel Gaussian conditionals (acceptance 1)
+    # 'gibbs_block' exact whole-spectrum conditionals per spaxel via banded
+    #               Cholesky — removes the LSF-induced λ-correlation from
+    #               the chain (rebuild-only; VERDICT r1 next #6)
+    sampler: str = "mh"
     initial: str = "zeros"                 # 'zeros' | 'data'
     fsf_size: Optional[int] = None
     lsf_width: Optional[int] = None
@@ -148,6 +153,8 @@ class Problem:
     fsf_imgs: Optional[jax.Array] = None    # [S, f, f]
     # per-voxel conditional precision (gibbs sampler): Σ_μ M²[μ,λ]·quad[μ,y,x]
     qvox: Optional[jax.Array] = None        # [L, Yc, Xc]
+    # per-spaxel banded Cholesky of A = Mᵀ diag(quad) M (gibbs_block):
+    chol: Optional[jax.Array] = None        # [Yc, Xc, L, lw]
     config: RunConfig = dataclasses.field(
         default_factory=RunConfig, metadata=dict(static=True)
     )
@@ -228,10 +235,11 @@ def make_problem(
     )
     lsf_np = instrument.lsf.bank(lam, cdelt=cube.cdelt, width=config.lsf_width)
 
-    if config.sampler == "gibbs" and config.positivity:
+    if config.sampler == "gibbs_block" and config.positivity:
         raise ValueError(
-            "sampler='gibbs' draws exact Gaussian conditionals; positivity "
-            "would need truncated-normal draws (use sampler='mh')."
+            "gibbs_block draws whole spectra jointly; a positivity-"
+            "truncated multivariate conditional has no closed form — use "
+            "sampler='gibbs' (exact truncated-normal voxel draws) or 'mh'."
         )
     engine = config.engine
     if engine == "auto":
@@ -239,6 +247,9 @@ def make_problem(
     if engine == "pallas" and config.positivity:
         # the fused kernel never reads the clean cube, so the reflective
         # positivity proposal runs on the jnp engine.
+        engine = "jnp"
+    if engine == "pallas" and config.sampler == "gibbs_block":
+        # banded-Cholesky scans are XLA territory, not a fused-kernel fit
         engine = "jnp"
     if engine == "pallas":
         # Size-aware engine resolution (VERDICT r1 weak #3): the fused kernel
@@ -347,6 +358,17 @@ def make_problem(
             dtype=dtype,
         )
 
+    chol = None
+    if config.sampler == "gibbs_block":
+        # quad is constant, so every spaxel's banded spectrum-precision
+        # Cholesky is computed ONCE here; the hot loop only runs the two
+        # O(L·lw) triangular solves per spaxel visit.
+        from .ops import banded
+
+        qs = jnp.moveaxis(jnp.asarray(quad, dtype=dtype), 0, -1)  # [Yc,Xc,L]
+        bands = banded.precision_bands(jnp.asarray(lsf_np, dtype=dtype), qs)
+        chol = banded.cholesky_banded(bands)               # [Yc, Xc, L, lw]
+
     return Problem(
         L=L, Y=Y, X=X, f=f, ny=ny, nx=nx,
         fsf=jnp.asarray(fsf_np, dtype=dtype),
@@ -359,6 +381,7 @@ def make_problem(
         fsf_spec=fsf_spec,
         fsf_imgs=fsf_imgs,
         qvox=qvox,
+        chol=chol,
         config=config,
     )
 
@@ -618,9 +641,28 @@ def _make_gibbs_step(p: Problem):
         ).astype(linT.dtype)
         live = lam_sel * valid_c[..., None] * (qv > 0)
         key, k1 = jax.random.split(key)
-        noise = jax.random.normal(k1, (ny, nx, L), dtype=linT.dtype)
         qv_safe = jnp.maximum(qv, 1e-30)
-        jumps = live * (linT / qv_safe + noise * jax.lax.rsqrt(qv_safe))
+        if p.config.positivity:
+            # exact one-sided truncated-normal conditional: the flat prior
+            # on c' >= 0 truncates N(mu, sigma^2) at zero (VERDICT r1 #5).
+            # ops/truncnorm.py inverts the log-survival function, so deeply
+            # truncated voxels (|alpha| in the hundreds at high SNR) draw
+            # exactly instead of saturating erf and biasing the chain.
+            from .ops.truncnorm import truncated_standard_normal
+
+            cur = jnp.moveaxis(
+                _color_slice(clean, cy, cx, ny, nx, f), 0, -1
+            )                                                # [ny,nx,L]
+            sig = jax.lax.rsqrt(qv_safe)
+            mu = cur + linT / qv_safe
+            alpha = -mu / sig
+            z = truncated_standard_normal(
+                k1, alpha, (ny, nx, L), linT.dtype
+            )
+            jumps = live * (mu + sig * z - cur)
+        else:
+            noise = jax.random.normal(k1, (ny, nx, L), dtype=linT.dtype)
+            jumps = live * (linT / qv_safe + noise * jax.lax.rsqrt(qv_safe))
 
         # commit (always): same separable delta machinery as MH
         g = _lsf_apply_lastaxis(jumps, p.lsf)
@@ -655,15 +697,99 @@ def _make_gibbs_step(p: Problem):
     return gibbs_step
 
 
+def _make_block_gibbs_step(p: Problem):
+    """One color update drawing every spaxel's FULL spectrum exactly.
+
+    The conditional of spaxel s's spectrum given all others is
+    N(c + A⁻¹ Mᵀ lin, A⁻¹) with banded precision A = Mᵀ diag(quad_s) M —
+    drawn exactly via banded Cholesky (ops/banded.py).  One sweep therefore
+    visits every spaxel once with zero λ-direction autocorrelation, which
+    is what collapses the mixing time on LSF-blurred data (the single-site
+    samplers random-walk along the spectral correlation).  Stationarity:
+    each update is an exact conditional draw (a Gibbs kernel), and
+    same-color footprints stay disjoint — the standard argument applies.
+    """
+    from .ops import banded
+
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+
+    def block_step(carry, color):
+        (resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate) = carry
+        cy, cx = color // f, color % f
+
+        valid_c = _color_slice(p.valid, cy, cx, ny, nx, f)           # [ny,nx]
+
+        block = jax.lax.dynamic_slice(
+            resid, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
+        ).reshape(L, ny, f, nx, f)
+        wblock = jax.lax.dynamic_slice(
+            p.w_pad, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
+        ).reshape(L, ny, f, nx, f)
+        quad_c = _color_slice(p.quad, cy, cx, ny, nx, f)             # [L,ny,nx]
+        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock,
+                         precision=jax.lax.Precision.HIGHEST)        # [L,ny,nx]
+
+        # b = Mᵀ lin per spaxel; Cholesky factors precomputed in make_problem
+        linT = _lsf_apply_T_lastaxis(jnp.moveaxis(lin, 0, -1), p.lsf)
+        lw = int(p.lsf.shape[1])
+        # masked/empty spaxels have sqrt(eps) pivots; their draws are
+        # discarded by the valid mask below.
+        R = jax.lax.dynamic_slice(
+            p.chol.reshape(ny, f, nx, f, L, lw),
+            (_i32(0), _i32(cy), _i32(0), _i32(cx), _i32(0), _i32(0)),
+            (ny, 1, nx, 1, L, lw),
+        ).reshape(ny, nx, L, lw)
+        key, k1 = jax.random.split(key)
+        noise = jax.random.normal(k1, (ny, nx, L), dtype=resid.dtype)
+        jumps = banded.sample_conditional(R, linT, noise)            # δ = c'-c
+        jumps = jnp.where(valid_c[..., None], jumps, 0.0)
+
+        # commit: identical separable delta machinery as the other modes
+        g = _lsf_apply_lastaxis(jumps, p.lsf)
+        dchi2 = jnp.einsum("yxl,lyx->yx", g * g, quad_c,
+                           precision=jax.lax.Precision.HIGHEST) - 2.0 * (
+            jnp.einsum("yxl,lyx->yx", g, lin,
+                       precision=jax.lax.Precision.HIGHEST)
+        )
+        delta = jnp.einsum("yxl,lab->lyaxb", g, p.fsf,
+                           precision=jax.lax.Precision.HIGHEST)
+        block = (block - delta).reshape(L, ny * f, nx * f)
+        resid = jax.lax.dynamic_update_slice(
+            resid, block, (_i32(0), _i32(cy), _i32(cx))
+        )
+        clean_c = _color_slice(clean, cy, cx, ny, nx, f)
+        clean = _color_update(
+            clean, clean_c + jnp.moveaxis(jumps, -1, 0), cy, cx, ny, nx, f
+        )
+
+        dchi2_tot = jnp.sum(dchi2, dtype=jnp.float32)
+        y = dchi2_tot - chi2c
+        t = chi2 + y
+        chi2c = (t - chi2) - y
+        chi2 = t
+
+        n_upd = jnp.sum(valid_c, dtype=jnp.float32) * jnp.float32(L)
+        return (
+            resid, clean, key, chi2, chi2c, log_scale, acc + n_upd,
+            nprop + n_upd, adapt_rate,
+        ), None
+
+    return block_step
+
+
 def _make_sweep(p: Problem):
     """One full Gibbs sweep: lax.scan over the update sets + trace outputs.
 
     'mh': f² spatial colors, one MH spectrum proposal per spaxel.
     'gibbs': f²·lw (spatial color, λ phase) sets, exact voxel draws.
+    'gibbs_block': f² colors, exact whole-spectrum draws per spaxel.
     """
     if p.config.sampler == "gibbs":
         step = _make_gibbs_step(p)
         codes = jnp.arange(p.n_colors * int(p.lsf.shape[1]), dtype=jnp.int32)
+    elif p.config.sampler == "gibbs_block":
+        step = _make_block_gibbs_step(p)
+        codes = jnp.arange(p.n_colors, dtype=jnp.int32)
     else:
         step = _make_color_step(p)
         codes = jnp.arange(p.n_colors, dtype=jnp.int32)
