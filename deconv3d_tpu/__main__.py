@@ -22,7 +22,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--burn-in", type=int, default=None)
     p.add_argument("--chains", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--sampler", choices=["mh", "gibbs"], default="mh")
+    p.add_argument(
+        "--sampler", choices=["mh", "gibbs", "gibbs_block"], default="mh"
+    )
     p.add_argument("--engine", choices=["auto", "jnp", "pallas"],
                    default="auto")
     p.add_argument("--positivity", action="store_true")

@@ -230,6 +230,17 @@ class Run:
         out = cv.convolve_cube(mean.data, self.problem.fsf, self.problem.lsf)
         return dataclasses.replace(mean, data=out, variance=None)
 
+    def rhat_cube(self) -> np.ndarray:
+        """Dense per-voxel R̂ [L, Y, X] (needs n_chains >= 2 post-burn-in)."""
+        mc = ch.MultiChainResult(
+            result=sm.ChainResult(
+                state=self.states,
+                chi2_trace=None, accept_trace=None, flux_trace=None,
+                monitor_trace=None,
+            )
+        )
+        return mc.rhat_cube(self.problem)
+
     def diagnostics(self) -> dict:
         """R̂/ESS over post-burn-in traces (multi-chain only)."""
         out = {

@@ -100,3 +100,61 @@ class TestRunChains:
         # pooled posterior mean has the right shape
         pm = mc.posterior_mean(p)
         assert pm.shape == (cube.nlambda, cube.ny, cube.nx)
+
+
+def test_rhat_cube_exact_formula(rng):
+    """Dense accumulator-based R̂ matches a hand computation (VERDICT weak #6)."""
+    import dataclasses
+
+    from test_sampler import _make_toy
+
+    cube, inst, _ = _make_toy(rng)
+    cfg = sm.RunConfig(max_iterations=8, burn_in=0, fsf_size=5, lsf_width=5,
+                       dtype=np.float64)
+    problem = sm.make_problem(cube, inst, cfg)
+    states = ch.init_chain_states(problem, 3)
+    # fabricate accumulators with known statistics
+    m, shape = 3, states.sum_clean.shape[1:]
+    n = 10.0
+    samples = rng.standard_normal((m, int(n)) + shape)
+    states = dataclasses.replace(
+        states,
+        sum_clean=jnp.asarray(samples.sum(axis=1)),
+        sum_sq=jnp.asarray((samples**2).sum(axis=1)),
+        n_kept=jnp.full((m,), n),
+    )
+    mc = ch.MultiChainResult(result=sm.ChainResult(
+        state=states, chi2_trace=jnp.zeros((m, 4)),
+        accept_trace=None, flux_trace=None, monitor_trace=None,
+    ))
+    rhat = mc.rhat_cube(problem)
+    p = problem
+    sub = samples[:, :, :, : p.Y, : p.X]
+    W = sub.var(axis=1, ddof=1).mean(axis=0)
+    B = n * sub.mean(axis=1).var(axis=0, ddof=1)
+    expected = np.sqrt(((n - 1) / n * W + B / n) / W)
+    np.testing.assert_allclose(rhat, expected, rtol=1e-10)
+    assert rhat.shape == (p.L, p.Y, p.X)
+
+
+def test_rhat_cube_from_real_run(rng):
+    """Long multi-chain run on the toy: dense R̂ close to 1 everywhere."""
+    from test_sampler import _make_toy
+
+    # NoFSF + gibbs_block ⇒ exact independent spectrum draws per sweep
+    # (tau = 1): a converged run must show R-hat ≈ 1 everywhere.  (With a
+    # spatial PSF the same diagnostic honestly reports 1.3–3 after 400
+    # sweeps — slow spatial mixing under blur, which is it working.)
+    from deconv3d_tpu import Cube, instruments as ins
+
+    data = rng.standard_normal((12, 4, 4))
+    cube = Cube.from_data(data, variance=np.ones_like(data),
+                          crval=4750.0, cdelt=1.25, dtype=np.float64)
+    inst = ins.Instrument(fsf=ins.NoFSF(), lsf=ins.GaussianLSF(fwhm=2.0))
+    cfg = sm.RunConfig(max_iterations=300, burn_in=50, seed=5,
+                       sampler="gibbs_block", lsf_width=5, dtype=np.float64)
+    problem = sm.make_problem(cube, inst, cfg)
+    mc = ch.run_chains(problem, 4, n_sweeps=300)
+    rhat = mc.rhat_cube(problem)
+    assert np.isfinite(rhat).all()
+    assert np.quantile(rhat, 0.99) < 1.05, np.quantile(rhat, 0.99)
