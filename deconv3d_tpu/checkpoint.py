@@ -35,6 +35,57 @@ def save_state(path: str, state: SamplerState, meta: dict | None = None) -> None
     np.savez(_normalize(path), **payload)
 
 
+def save_state_orbax(path: str, state: SamplerState,
+                     meta: dict | None = None, async_: bool = False):
+    """Orbax-backed checkpoint (multi-host-capable; optional async writes).
+
+    The NPZ format above is the default (small, dependency-light,
+    single-host).  Orbax adds: sharded multi-host saves (each host writes
+    its shards), atomic directory commits, and async background writes —
+    the right backend once a Run spans hosts (SURVEY.md §5.4 / ROADMAP r1
+    item 6).  ``path`` is a directory.  Returns the checkpointer when
+    ``async_`` (caller must ``.wait_until_finished()`` before exit).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = (
+        ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        if async_ else ocp.StandardCheckpointer()
+    )
+    meta_bytes = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8
+    ).copy()  # strings are not a StandardCheckpointHandler leaf type
+    payload = {
+        "state": jax.tree_util.tree_map(np.asarray, state),
+        "meta": {"json": meta_bytes},
+    }
+    ckptr.save(path, payload, force=True)
+    if async_:
+        return ckptr
+    ckptr.close()
+    return None
+
+
+def load_state_orbax(path: str, like: SamplerState) -> Tuple[SamplerState, dict]:
+    """Restore an orbax checkpoint into the structure of ``like``."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    # orbax restores pytrees as name-keyed dicts; rebuild the dataclass by
+    # field name (leaf ORDER differs: dicts come back alphabetical)
+    state = type(like)(**restored["state"])
+    meta = json.loads(bytes(np.asarray(restored["meta"]["json"],
+                                       dtype=np.uint8)).decode())
+    return state, meta
+
+
 def load_state(path: str, like: SamplerState) -> Tuple[SamplerState, dict]:
     """Restore state into the structure of ``like`` (shape/dtype template)."""
     with np.load(_normalize(path)) as z:

@@ -84,8 +84,10 @@ def cholesky_banded(bands: jax.Array, jitter: float = 0.0) -> jax.Array:
         )
         return new_prev, r_row
 
+    # derive from the input so the carry inherits its sharding/vma type
+    # (fresh zeros break lax.scan under shard_map: unvarying vs varying)
     prev0 = tuple(
-        jnp.zeros(batch + (p + 1,), bands.dtype) for _ in range(p)
+        jnp.zeros_like(bands[..., 0, :]) for _ in range(p)
     )
     bands_t = jnp.moveaxis(bands, -2, 0)                 # [L, ..., p+1]
     _, rows = jax.lax.scan(row, prev0, bands_t)
@@ -121,7 +123,7 @@ def solve_transposed_banded(R: jax.Array, b: jax.Array) -> jax.Array:
         )
         return new_hist, zi
 
-    hist0 = tuple(jnp.zeros(batch, b.dtype) for _ in range(p))
+    hist0 = tuple(jnp.zeros_like(b[..., 0]) for _ in range(p))
     _, z = jax.lax.scan(step, hist0, xs)
     return jnp.moveaxis(z, 0, -1)
 
@@ -151,7 +153,7 @@ def solve_banded(R: jax.Array, b: jax.Array) -> jax.Array:
         )
         return new_hist, xi
 
-    hist0 = tuple(jnp.zeros(batch, b.dtype) for _ in range(p))
+    hist0 = tuple(jnp.zeros_like(b[..., 0]) for _ in range(p))
     _, x = jax.lax.scan(step, hist0, xs, reverse=True)
     return jnp.moveaxis(x, 0, -1)
 

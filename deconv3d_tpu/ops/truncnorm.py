@@ -47,18 +47,34 @@ def _tail_inverse(t, dtype):
     return z
 
 
-def truncated_standard_normal(key, alpha, shape, dtype) -> jax.Array:
-    """Draw z ~ N(0,1) conditioned on z ≥ alpha (elementwise alpha)."""
-    alpha = jnp.broadcast_to(jnp.asarray(alpha, dtype), shape)
-    k1, k2 = jax.random.split(key)
-    # safe-region draw (exact for alpha ≤ ~2; garbage beyond, discarded)
-    body = jax.random.truncated_normal(
-        k1, jnp.minimum(alpha, _TAIL_SWITCH), jnp.inf, shape, dtype
-    )
+def transform_uniforms(alpha, u_body, u_tail) -> jax.Array:
+    """Elementwise map of two U(0,1) draws to z ~ TN[alpha, inf).
+
+    Exposed separately so distributed callers (parallel/sweep_sharded.py)
+    can draw the SAME full-grid uniforms on every device, slice their rows,
+    and transform with local alphas — making the sharded chain draw-for-
+    draw identical to the single-device one.
+    """
+    from jax.scipy.special import ndtr, ndtri
+
+    dtype = u_body.dtype
+    alpha = jnp.broadcast_to(jnp.asarray(alpha, dtype), u_body.shape)
+    # safe-region inverse CDF (exact for alpha ≤ ~2; discarded beyond).
+    a_lo = jnp.minimum(alpha, _TAIL_SWITCH)
+    p = ndtr(a_lo) + u_body * (1.0 - ndtr(a_lo))
+    # p can round to 1.0 (prob ~1e-9 per draw in f32) → ndtri = inf; cap at
+    # a point with ~1e-18 of conditional mass instead.
+    body = jnp.minimum(ndtri(p), a_lo + 9.0)
     # tail draw via log-sf inversion (exact for alpha ≥ ~2)
-    u = jax.random.uniform(
-        k2, shape, dtype, minval=jnp.finfo(dtype).tiny, maxval=1.0
-    )
-    t = log_ndtr(-jnp.maximum(alpha, _TAIL_SWITCH)) + jnp.log(u)
+    t = log_ndtr(-jnp.maximum(alpha, _TAIL_SWITCH)) + jnp.log(u_tail)
     tail = _tail_inverse(t, dtype)
     return jnp.where(alpha > _TAIL_SWITCH, tail, body)
+
+
+def truncated_standard_normal(key, alpha, shape, dtype) -> jax.Array:
+    """Draw z ~ N(0,1) conditioned on z ≥ alpha (elementwise alpha)."""
+    k1, k2 = jax.random.split(key)
+    tiny = jnp.finfo(dtype).tiny
+    u_body = jax.random.uniform(k1, shape, dtype, minval=tiny, maxval=1.0)
+    u_tail = jax.random.uniform(k2, shape, dtype, minval=tiny, maxval=1.0)
+    return transform_uniforms(alpha, u_body, u_tail)

@@ -96,15 +96,12 @@ def run_sweeps_sharded(
 
     Input/output state uses the standard single-device layout; sharding and
     unsharding happen at the boundary of this call (the amortised cost of a
-    long segment).  Only the 'mh' sampler is supported (the exact-Gibbs
-    λ-phase loop shards identically but is not wired yet).
+    long segment).  All three sampler modes shard: 'mh' (with or without
+    positivity), 'gibbs' (incl. truncated-normal positivity draws) and
+    'gibbs_block' (the per-spaxel Cholesky bank shards with the rows).
     """
     p = problem
     cfg = p.config
-    if cfg.sampler != "mh":
-        raise NotImplementedError(
-            "spatially-sharded sampling currently supports sampler='mh'"
-        )
     ndev = mesh.shape[axis_name]
     if p.ny % ndev:
         raise ValueError(
@@ -130,6 +127,15 @@ def run_sweeps_sharded(
         (idx >= burn) & ((idx - burn) % cfg.keep_one_in == 0), 1.0, 0.0
     ).astype(jnp.float32)
 
+    if cfg.sampler == "gibbs":
+        extra = jax.device_put(p.qvox, shard_y)             # [L, Yc/D, Xc]
+    elif cfg.sampler == "gibbs_block":
+        extra = jax.device_put(
+            p.chol, NamedSharding(mesh, P(axis_name, None, None, None))
+        )                                                   # [Yc/D, Xc, L, lw]
+    else:
+        extra = jax.device_put(jnp.zeros((), cfg.dtype), repl)
+
     args = (
         jax.device_put(resid_sh, shard_y),
         jax.device_put(state.clean, shard_y),
@@ -139,6 +145,7 @@ def run_sweeps_sharded(
         jax.device_put(w_sh, shard_y),
         jax.device_put(p.quad, shard_y),
         jax.device_put(p.valid, shard_yx),
+        extra,
         jax.device_put(state.key, repl),
         jax.device_put(state.chi2, repl),
         jax.device_put(state.chi2_comp, repl),
@@ -177,34 +184,11 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
     target = cfg.target_acceptance
     halo = f - 1
     lsf = p.lsf
+    lw = int(lsf.shape[1])
     monitor_idx = np.asarray(p.monitor_idx)
     Yc, Xc = p.Yc, p.Xc
 
-    def color_step(carry, color):
-        (resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate,
-         quad, valid, w, dev) = carry
-        cy, cx = color // f, color % f
-
-        valid_c = sm._color_slice(valid, cy, cx, nyl, nx, f)
-        scale_c = sm._color_slice(log_scale, cy, cx, nyl, nx, f)
-
-        # --- proposals: full-grid draw, local slice (bit-matches the
-        # single-device engine; see module docstring)
-        key, k1, k2 = jax.random.split(key, 3)
-        draw_full = jax.random.cauchy(k1, (ny, nx, L), dtype=resid.dtype)
-        draw = jax.lax.dynamic_slice_in_dim(
-            jnp.clip(draw_full, -1e3, 1e3), dev * nyl, nyl, axis=0
-        )
-        jumps = jnp.exp(scale_c)[..., None] * draw
-        jumps = jnp.where(valid_c[..., None], jumps, 0.0)
-        if cfg.positivity:
-            cur = jnp.moveaxis(
-                sm._color_slice(clean, cy, cx, nyl, nx, f), 0, -1
-            )
-            jumps = jnp.abs(cur + jumps) - cur
-
-        g = sm._lsf_apply_lastaxis(jumps, lsf)
-
+    def slab_views(resid, w, cy, cx):
         block = jax.lax.dynamic_slice(
             resid, (sm._i32(0), sm._i32(cy), sm._i32(cx)),
             (L, nyl * f, nx * f),
@@ -212,23 +196,18 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
         wblock = jax.lax.dynamic_slice(
             w, (sm._i32(0), sm._i32(cy), sm._i32(cx)), (L, nyl * f, nx * f)
         ).reshape(L, nyl, f, nx, f)
-
-        quad_c = sm._color_slice(quad, cy, cx, nyl, nx, f)
         lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock,
                          precision=jax.lax.Precision.HIGHEST)
+        return lin
+
+    def commit(resid, clean, jumps, cy, cx, lin, quad_c):
+        """Shared commit: patch delta, halo push, clean update, Δchi²."""
+        g = sm._lsf_apply_lastaxis(jumps, lsf)
         dchi2 = jnp.einsum("yxl,lyx->yx", g * g, quad_c,
                            precision=jax.lax.Precision.HIGHEST
                            ) - 2.0 * jnp.einsum(
             "yxl,lyx->yx", g, lin, precision=jax.lax.Precision.HIGHEST)
-
-        logu_full = jnp.log(jax.random.uniform(
-            k2, (ny, nx), dtype=resid.dtype, minval=1e-37))
-        logu = jax.lax.dynamic_slice_in_dim(logu_full, dev * nyl, nyl, axis=0)
-        accept = (logu < -0.5 * dchi2) & valid_c
-        accf = accept.astype(resid.dtype)
-
-        # --- local patch delta + halo push to the replicated rows ---------
-        delta = jnp.einsum("yxl,lab->lyaxb", g * accf[..., None], p.fsf,
+        delta = jnp.einsum("yxl,lab->lyaxb", g, p.fsf,
                            precision=jax.lax.Precision.HIGHEST
                            ).reshape(L, nyl * f, nx * f)
         dslab = jnp.zeros((L, Hpl, resid.shape[2]), resid.dtype)
@@ -248,11 +227,52 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
             resid = jax.lax.dynamic_update_slice_in_dim(
                 resid, bot, BYl, axis=1
             )
-
         clean_c = sm._color_slice(clean, cy, cx, nyl, nx, f)
         clean = sm._color_update(
-            clean, clean_c + jnp.moveaxis(jumps * accf[..., None], -1, 0),
-            cy, cx, nyl, nx, f,
+            clean, clean_c + jnp.moveaxis(jumps, -1, 0), cy, cx, nyl, nx, f
+        )
+        return resid, clean, dchi2
+
+    def local_rows(full, dev):
+        return jax.lax.dynamic_slice_in_dim(full, dev * nyl, nyl, axis=0)
+
+    def mh_step(carry, color):
+        (resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate,
+         quad, valid, w, extra, dev) = carry
+        cy, cx = color // f, color % f
+
+        valid_c = sm._color_slice(valid, cy, cx, nyl, nx, f)
+        scale_c = sm._color_slice(log_scale, cy, cx, nyl, nx, f)
+
+        # --- proposals: full-grid draw, local slice (bit-matches the
+        # single-device engine; see module docstring)
+        key, k1, k2 = jax.random.split(key, 3)
+        draw_full = jax.random.cauchy(k1, (ny, nx, L), dtype=resid.dtype)
+        draw = local_rows(jnp.clip(draw_full, -1e3, 1e3), dev)
+        jumps = jnp.exp(scale_c)[..., None] * draw
+        jumps = jnp.where(valid_c[..., None], jumps, 0.0)
+        if cfg.positivity:
+            cur = jnp.moveaxis(
+                sm._color_slice(clean, cy, cx, nyl, nx, f), 0, -1
+            )
+            jumps = jnp.abs(cur + jumps) - cur
+
+        g = sm._lsf_apply_lastaxis(jumps, lsf)
+        lin = slab_views(resid, w, cy, cx)
+        quad_c = sm._color_slice(quad, cy, cx, nyl, nx, f)
+        dchi2 = jnp.einsum("yxl,lyx->yx", g * g, quad_c,
+                           precision=jax.lax.Precision.HIGHEST
+                           ) - 2.0 * jnp.einsum(
+            "yxl,lyx->yx", g, lin, precision=jax.lax.Precision.HIGHEST)
+
+        logu_full = jnp.log(jax.random.uniform(
+            k2, (ny, nx), dtype=resid.dtype, minval=1e-37))
+        logu = local_rows(logu_full, dev)
+        accept = (logu < -0.5 * dchi2) & valid_c
+        accf = accept.astype(resid.dtype)
+
+        resid, clean, _ = commit(
+            resid, clean, jumps * accf[..., None], cy, cx, lin, quad_c
         )
 
         dchi2_tot = jax.lax.psum(
@@ -274,7 +294,104 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
             jnp.sum(valid_c, dtype=jnp.float32), axis_name
         )
         return (resid, clean, key, chi2, chi2c, log_scale, acc, nprop,
-                adapt_rate, quad, valid, w, dev), None
+                adapt_rate, quad, valid, w, extra, dev), None
+
+    def gibbs_step(carry, code):
+        (resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate,
+         quad, valid, w, qvox, dev) = carry
+        color = code // lw
+        clam = code % lw
+        cy, cx = color // f, color % f
+
+        valid_c = sm._color_slice(valid, cy, cx, nyl, nx, f)
+        lin = slab_views(resid, w, cy, cx)
+        quad_c = sm._color_slice(quad, cy, cx, nyl, nx, f)
+
+        linT = sm._lsf_apply_T_lastaxis(jnp.moveaxis(lin, 0, -1), lsf)
+        qv = jnp.moveaxis(
+            sm._color_slice(qvox, cy, cx, nyl, nx, f), 0, -1
+        )
+        lam_sel = (
+            jnp.arange(L, dtype=jnp.int32) % lw == clam
+        ).astype(linT.dtype)
+        live = lam_sel * valid_c[..., None] * (qv > 0)
+        key, k1 = jax.random.split(key)
+        qv_safe = jnp.maximum(qv, 1e-30)
+        if cfg.positivity:
+            from ..ops.truncnorm import transform_uniforms
+
+            cur = jnp.moveaxis(
+                sm._color_slice(clean, cy, cx, nyl, nx, f), 0, -1
+            )
+            sig = jax.lax.rsqrt(qv_safe)
+            mu = cur + linT / qv_safe
+            alpha = -mu / sig
+            # same RNG consumption as ops.truncnorm.truncated_standard_
+            # normal on the FULL grid, sliced locally
+            ka, kb = jax.random.split(k1)
+            tiny = jnp.finfo(linT.dtype).tiny
+            ub = local_rows(jax.random.uniform(
+                ka, (ny, nx, L), linT.dtype, minval=tiny, maxval=1.0), dev)
+            ut = local_rows(jax.random.uniform(
+                kb, (ny, nx, L), linT.dtype, minval=tiny, maxval=1.0), dev)
+            z = transform_uniforms(alpha, ub, ut)
+            jumps = live * (mu + sig * z - cur)
+        else:
+            noise = local_rows(jax.random.normal(
+                k1, (ny, nx, L), dtype=linT.dtype), dev)
+            jumps = live * (linT / qv_safe + noise * jax.lax.rsqrt(qv_safe))
+
+        resid, clean, dchi2 = commit(resid, clean, jumps, cy, cx, lin, quad_c)
+
+        dchi2_tot = jax.lax.psum(
+            jnp.sum(dchi2, dtype=jnp.float32), axis_name
+        )
+        y = dchi2_tot - chi2c
+        t = chi2 + y
+        chi2c = (t - chi2) - y
+        chi2 = t
+        n_upd = jax.lax.psum(jnp.sum(live, dtype=jnp.float32), axis_name)
+        return (resid, clean, key, chi2, chi2c, log_scale, acc + n_upd,
+                nprop + n_upd, adapt_rate, quad, valid, w, qvox, dev), None
+
+    def block_step(carry, color):
+        from ..ops import banded
+
+        (resid, clean, key, chi2, chi2c, log_scale, acc, nprop, adapt_rate,
+         quad, valid, w, chol, dev) = carry
+        cy, cx = color // f, color % f
+
+        valid_c = sm._color_slice(valid, cy, cx, nyl, nx, f)
+        lin = slab_views(resid, w, cy, cx)
+        quad_c = sm._color_slice(quad, cy, cx, nyl, nx, f)
+
+        linT = sm._lsf_apply_T_lastaxis(jnp.moveaxis(lin, 0, -1), lsf)
+        R = jax.lax.dynamic_slice(
+            chol.reshape(nyl, f, nx, f, L, lw),
+            (sm._i32(0), sm._i32(cy), sm._i32(0), sm._i32(cx),
+             sm._i32(0), sm._i32(0)),
+            (nyl, 1, nx, 1, L, lw),
+        ).reshape(nyl, nx, L, lw)
+        key, k1 = jax.random.split(key)
+        noise = local_rows(jax.random.normal(
+            k1, (ny, nx, L), dtype=linT.dtype), dev)
+        jumps = banded.sample_conditional(R, linT, noise)
+        jumps = jnp.where(valid_c[..., None], jumps, 0.0)
+
+        resid, clean, dchi2 = commit(resid, clean, jumps, cy, cx, lin, quad_c)
+
+        dchi2_tot = jax.lax.psum(
+            jnp.sum(dchi2, dtype=jnp.float32), axis_name
+        )
+        y = dchi2_tot - chi2c
+        t = chi2 + y
+        chi2c = (t - chi2) - y
+        chi2 = t
+        n_upd = jax.lax.psum(
+            jnp.sum(valid_c, dtype=jnp.float32), axis_name
+        ) * jnp.float32(L)
+        return (resid, clean, key, chi2, chi2c, log_scale, acc + n_upd,
+                nprop + n_upd, adapt_rate, quad, valid, w, chol, dev), None
 
     def monitor_vals(clean, dev):
         """Per-sweep monitored voxels, psum-gathered from the owning shard."""
@@ -295,21 +412,28 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
 
     spec_y = P(None, axis_name, None)
     spec_yx = P(axis_name, None)
+    if cfg.sampler == "gibbs":
+        step, n_codes, spec_extra = gibbs_step, f * f * lw, spec_y
+    elif cfg.sampler == "gibbs_block":
+        step, n_codes = block_step, f * f
+        spec_extra = P(axis_name, None, None, None)
+    else:
+        step, n_codes, spec_extra = mh_step, f * f, P()
 
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(spec_y, spec_y, spec_yx, spec_y, spec_y, spec_y, spec_y,
-                  spec_yx, P(), P(), P(), P(), P()),
+                  spec_yx, spec_extra, P(), P(), P(), P(), P()),
         out_specs=(spec_y, spec_y, spec_yx, spec_y, spec_y, P(), P(), P(),
                    P(), P(), P(), P(), P(), P()),
     )
     def sweeps(resid, clean, log_scale, sum_clean, sum_sq, w, quad, valid,
-               key, chi2, chi2c, adapt, keep):
+               extra, key, chi2, chi2c, adapt, keep):
         dev = jax.lax.axis_index(axis_name)
         validf = valid.astype(cfg.dtype)
-        codes = jnp.arange(f * f, dtype=jnp.int32)
+        codes = jnp.arange(n_codes, dtype=jnp.int32)
 
         def sweep(carry, xs):
             (resid, clean, key, chi2, chi2c, log_scale, sum_clean, sum_sq,
@@ -317,8 +441,8 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
             adapt_t, keep_t = xs
             inner = (resid, clean, key, chi2, chi2c, log_scale,
                      jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-                     adapt_t, quad, valid, w, dev)
-            inner, _ = jax.lax.scan(color_step, inner, codes)
+                     adapt_t, quad, valid, w, extra, dev)
+            inner, _ = jax.lax.scan(step, inner, codes)
             (resid, clean, key, chi2, chi2c, log_scale, acc, nprop,
              *_rest) = inner
             kc = keep_t.astype(clean.dtype)

@@ -1,6 +1,8 @@
 """Run facade + checkpoint/metrics tests (reference API parity, SURVEY §3)."""
 
 import json
+
+import jax
 import os
 
 import numpy as np
@@ -225,3 +227,36 @@ def test_segmented_run_reuses_compiled_executable(rng):
     run.run()  # 3 segments of identical shape
     after = ch._batched_run._cache_size()
     assert after - before <= 1
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    """Orbax backend: bit-exact state round-trip incl. RNG key + meta."""
+    cube, inst, _ = _make_toy(rng)
+    cfg = sm.RunConfig(max_iterations=6, fsf_size=5, lsf_width=5,
+                       dtype=np.float64)
+    problem = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(problem)
+    state = sm.run_sweeps(problem, state, 3).state
+    path = str(tmp_path / "ock")
+    ckpt.save_state_orbax(path, state, meta={"sweeps_done": 3})
+    restored, meta = ckpt.load_state_orbax(path, state)
+    assert meta == {"sweeps_done": 3}
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_checkpoint_async(tmp_path, rng):
+    cube, inst, _ = _make_toy(rng)
+    cfg = sm.RunConfig(max_iterations=4, fsf_size=5, lsf_width=5,
+                       dtype=np.float64)
+    problem = sm.make_problem(cube, inst, cfg)
+    state = sm.init_state(problem)
+    path = str(tmp_path / "ock_async")
+    ckptr = ckpt.save_state_orbax(path, state, meta={"k": 2}, async_=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+    restored, meta = ckpt.load_state_orbax(path, state)
+    assert meta == {"k": 2}
+    np.testing.assert_array_equal(
+        np.asarray(restored.clean), np.asarray(state.clean))

@@ -135,8 +135,28 @@ def test_sharded_requires_divisible_ny(rng):
         run_sweeps_sharded(problem, state0, 2, _mesh(2))
 
 
-def test_sharded_rejects_gibbs(rng):
-    problem = _problem(rng, sampler="gibbs")
+@pytest.mark.parametrize("mode,kw", [
+    ("gibbs", {}),
+    ("gibbs", {"positivity": True}),
+    ("gibbs_block", {}),
+    ("mh", {"positivity": True}),
+])
+def test_sharded_other_samplers_match_single_device(rng, mode, kw):
+    """gibbs / truncated-gibbs / blocked / reflective-MH shard identically."""
+    problem = _problem(rng, sampler=mode, **kw)
     state0 = sm.init_state(problem)
-    with pytest.raises(NotImplementedError):
-        run_sweeps_sharded(problem, state0, 2, _mesh(2))
+    n_sweeps = 6
+    ref = sm.run_sweeps(problem, state0, n_sweeps)
+    shd = run_sweeps_sharded(problem, state0, n_sweeps, _mesh(4))
+    np.testing.assert_allclose(
+        np.asarray(shd.state.clean), np.asarray(ref.state.clean),
+        rtol=0, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(shd.state.resid), np.asarray(ref.state.resid),
+        rtol=0, atol=1e-9,
+    )
+    # chi2 differs only by distributed (psum) summation order
+    np.testing.assert_allclose(
+        np.asarray(shd.chi2_trace), np.asarray(ref.chi2_trace), rtol=1e-6
+    )
