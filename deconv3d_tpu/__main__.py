@@ -39,6 +39,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--metrics", default=None)
     p.add_argument("--plots", action="store_true")
+    p.add_argument("--initial", choices=["zeros", "data"], default="zeros")
+    p.add_argument("--spatial-shards", type=int, default=None,
+                   help="shard ONE chain's sweep over this many devices")
+    p.add_argument("--no-variance", action="store_true",
+                   help="skip the posterior-variance accumulator (saves "
+                        "~2 cubes of HBM on huge fields)")
 
 
 def _build_instrument(args):
@@ -64,6 +70,8 @@ def cmd_run(args) -> int:
         max_iterations=args.iterations, burn_in=args.burn_in,
         n_chains=args.chains, seed=args.seed, sampler=args.sampler,
         engine=args.engine, positivity=args.positivity,
+        initial=args.initial, spatial_mesh=args.spatial_shards,
+        track_variance=not args.no_variance,
         checkpoint_path=args.checkpoint, metrics_path=args.metrics,
     )
     run.run()

@@ -219,14 +219,32 @@ def run_chains(
             jax.tree_util.tree_map(lambda _: sharding, states),
         )
 
+    if states.resid.nbytes > 2**28:
+        # huge fields: consume the input states so the ~10 GB pytree
+        # updates in place (sampler.run_sweeps documents the same rule)
+        return MultiChainResult(
+            result=_batched_run_donated(problem, states, n_sweeps)
+        )
     return MultiChainResult(result=_batched_run(problem, states, n_sweeps))
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps",))
-def _batched_run(
+def _batched_run_impl(
     problem: sm.Problem, states: sm.SamplerState, n_sweeps: int
 ) -> sm.ChainResult:
     """Module-level jitted batched runner: segmented Run.run() calls reuse
     the compiled executable instead of retracing per segment (the Problem's
-    geometry/config ride in static metadata, so the cache key is right)."""
-    return jax.vmap(lambda s: sm.run_sweeps(problem, s, n_sweeps))(states)
+    geometry/config ride in static metadata, so the cache key is right).
+    Only the jnp engine reaches this point (the pallas branch returns
+    earlier), so vmap the scan implementation directly — the donation
+    decision lives in the two jit wrappers below."""
+    return jax.vmap(
+        lambda s: sm._jnp_run_sweeps_impl(problem, s, n_sweeps)
+    )(states)
+
+
+_batched_run = functools.partial(
+    jax.jit, static_argnames=("n_sweeps",)
+)(_batched_run_impl)
+_batched_run_donated = functools.partial(
+    jax.jit, static_argnames=("n_sweeps",), donate_argnums=(1,)
+)(_batched_run_impl)

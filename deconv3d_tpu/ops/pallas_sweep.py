@@ -580,7 +580,8 @@ def _assemble(problem: sm.Problem, states: sm.SamplerState, n_sweeps: int,
             chi2 = t
             kc = keep_t.astype(clean.dtype)
             sum_clean = sum_clean + kc * clean
-            sum_sq = sum_sq + kc * clean * clean
+            if cfg.track_variance:
+                sum_sq = sum_sq + kc * clean * clean
             n_kept = n_kept + keep_t
             trace = (
                 chi2,

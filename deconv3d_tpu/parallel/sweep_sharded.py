@@ -141,7 +141,11 @@ def run_sweeps_sharded(
         jax.device_put(state.clean, shard_y),
         jax.device_put(state.log_scale, shard_yx),
         jax.device_put(state.sum_clean, shard_y),
-        jax.device_put(state.sum_sq, shard_y),
+        # (1,1,1) placeholder when track_variance=False cannot shard
+        jax.device_put(
+            state.sum_sq,
+            shard_y if cfg.track_variance else repl,
+        ),
         jax.device_put(w_sh, shard_y),
         jax.device_put(p.quad, shard_y),
         jax.device_put(p.valid, shard_yx),
@@ -412,6 +416,8 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
 
     spec_y = P(None, axis_name, None)
     spec_yx = P(axis_name, None)
+    # sum_sq is a (1,1,1) placeholder when variance tracking is off
+    spec_ss = spec_y if cfg.track_variance else P()
     if cfg.sampler == "gibbs":
         step, n_codes, spec_extra = gibbs_step, f * f * lw, spec_y
     elif cfg.sampler == "gibbs_block":
@@ -424,9 +430,9 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(spec_y, spec_y, spec_yx, spec_y, spec_y, spec_y, spec_y,
+        in_specs=(spec_y, spec_y, spec_yx, spec_y, spec_ss, spec_y, spec_y,
                   spec_yx, spec_extra, P(), P(), P(), P(), P()),
-        out_specs=(spec_y, spec_y, spec_yx, spec_y, spec_y, P(), P(), P(),
+        out_specs=(spec_y, spec_y, spec_yx, spec_y, spec_ss, P(), P(), P(),
                    P(), P(), P(), P(), P(), P()),
     )
     def sweeps(resid, clean, log_scale, sum_clean, sum_sq, w, quad, valid,
@@ -447,7 +453,8 @@ def _make_sharded_sweeps(p, mesh, axis_name, ndev, n_sweeps):
              *_rest) = inner
             kc = keep_t.astype(clean.dtype)
             sum_clean = sum_clean + kc * clean
-            sum_sq = sum_sq + kc * clean * clean
+            if cfg.track_variance:
+                sum_sq = sum_sq + kc * clean * clean
             flux = jax.lax.psum(
                 jnp.sum(clean * validf[None], dtype=jnp.float32), axis_name
             )

@@ -59,12 +59,14 @@ class Run:
         lsf_width: Optional[int] = None,
         n_chains: int = 1,
         mesh=None,
+        spatial_mesh=None,
         segment_size: Optional[int] = None,
         metrics_path: Optional[str] = None,
         checkpoint_path: Optional[str] = None,
         dtype=np.float32,
         engine: str = "auto",
         fsf_tol: float = 1e-5,
+        track_variance: bool = True,
     ):
         if isinstance(cube, str):
             cube = (
@@ -83,6 +85,21 @@ class Run:
         self.instrument = instrument or MUSE()
         self.n_chains = int(n_chains)
         self.mesh = mesh
+        # spatial_mesh: a jax.sharding.Mesh (or device count) to run ONE
+        # chain's sweep sharded over devices (very large fields; see
+        # parallel/sweep_sharded.py).  Mutually exclusive with n_chains>1.
+        if isinstance(spatial_mesh, int):
+            from jax.sharding import Mesh as _Mesh
+
+            spatial_mesh = _Mesh(
+                np.asarray(jax.devices()[:spatial_mesh]), ("sp",)
+            )
+        self.spatial_mesh = spatial_mesh
+        if spatial_mesh is not None and n_chains != 1:
+            raise ValueError(
+                "spatial_mesh shards ONE chain over devices; combine with "
+                "n_chains=1 (chain parallelism uses `mesh` instead)."
+            )
         self.min_acceptance_rate = min_acceptance_rate
         self.segment_size = segment_size
         self.metrics_path = metrics_path
@@ -103,6 +120,7 @@ class Run:
             dtype=dtype,
             engine=engine,
             fsf_tol=fsf_tol,
+            track_variance=track_variance,
         )
         self.problem = sm.make_problem(cube, self.instrument, self.config)
         self.states = ch.init_chain_states(self.problem, self.n_chains)
@@ -126,10 +144,22 @@ class Run:
         while done < total:
             n = min(seg, total - done)
             t0 = time.time()
-            mc = ch.run_chains(
-                self.problem, self.n_chains, n_sweeps=n,
-                mesh=self.mesh, states=self.states,
-            )
+            if self.spatial_mesh is not None:
+                from .parallel.sweep_sharded import run_sweeps_sharded
+
+                res = run_sweeps_sharded(
+                    self.problem,
+                    jax.tree_util.tree_map(lambda x: x[0], self.states),
+                    n, self.spatial_mesh,
+                )
+                mc = ch.MultiChainResult(result=jax.tree_util.tree_map(
+                    lambda x: np.asarray(x)[None], res
+                ))
+            else:
+                mc = ch.run_chains(
+                    self.problem, self.n_chains, n_sweeps=n,
+                    mesh=self.mesh, states=self.states,
+                )
             self.states = mc.result.state
             jax.block_until_ready(self.states.chi2)
             dt = time.time() - t0
@@ -212,12 +242,15 @@ class Run:
         mean = (total / n)[:, : p.Y, : p.X]
         std = self._posterior_std()
         return Cube.from_data(
-            mean, variance=std**2, crval=self.cube.crval,
+            mean, variance=None if std is None else std**2,
+            crval=self.cube.crval,
             cdelt=self.cube.cdelt, crpix=self.cube.crpix,
             dtype=self.config.dtype,
         )
 
-    def _posterior_std(self) -> np.ndarray:
+    def _posterior_std(self) -> Optional[np.ndarray]:
+        if not self.config.track_variance:
+            return None
         p, s = self.problem, self.states
         n = max(float(np.asarray(s.n_kept).sum()), 1.0)
         mean = np.asarray(s.sum_clean).sum(axis=0) / n
@@ -277,10 +310,12 @@ class Run:
         """
         clean = self.deconvolved_cube()
         clean.to_fits(f"{name}_clean.fits")
-        Cube.from_data(
-            self._posterior_std(), crval=self.cube.crval,
-            cdelt=self.cube.cdelt, crpix=self.cube.crpix,
-        ).to_fits(f"{name}_std.fits")
+        std = self._posterior_std()
+        if std is not None:  # absent when track_variance=False
+            Cube.from_data(
+                std, crval=self.cube.crval,
+                cdelt=self.cube.cdelt, crpix=self.cube.crpix,
+            ).to_fits(f"{name}_std.fits")
         self.convolved_cube().to_fits(f"{name}_convolved.fits")
         if self._traces["chi2"]:
             np.savez(

@@ -70,6 +70,10 @@ class RunConfig:
     max_iterations: int = 1000
     burn_in: Optional[int] = None          # default: max_iterations // 2
     keep_one_in: int = 1                   # thinning of the posterior mean
+    # posterior-variance accumulator (sum of squares). Costs one clean-cube
+    # buffer in state AND in XLA's scan double-buffer — turning it off cuts
+    # ~2.8 GB on a full MUSE field, where HBM is the binding constraint.
+    track_variance: bool = True
     n_monitor: int = 8                     # voxels traced per sweep (for R̂)
     jump_scale: Optional[float] = None     # None → auto from weights
     target_acceptance: float = 0.234       # adaptive-MH target
@@ -94,6 +98,14 @@ class RunConfig:
     dtype: np.dtype = np.float32
     # execution engine: 'auto' → fused Pallas kernel on TPU, jnp elsewhere.
     engine: str = "auto"                   # 'auto' | 'jnp' | 'pallas'
+    # jnp engine, huge fields: process the slab reads/commits of a color
+    # step in λ-chunks of this many planes so temporaries stay bounded.
+    # Ulp-equivalent to the full-λ path: the patch contraction has no
+    # cross-λ reduction; only XLA's per-shape reduction order differs.
+    # None → auto: full-λ for small cubes, chunked when a slab temporary
+    # would exceed ~256 MB (the full MUSE field would OOM 16 GB HBM
+    # otherwise); 0 disables chunking.
+    lambda_chunk: Optional[int] = None
     fsf_tol: float = 1e-5                  # low-rank FSF tolerance (pallas)
     fsf_max_rank: int = 8
 
@@ -300,8 +312,12 @@ def make_problem(
     h = f // 2
 
     # weights on the padded grid; zero outside the data region and at masked
-    # spaxels (C8) / invalid variances (C2).
-    w = 1.0 / np.asarray(cube.variance, dtype=np.float64)
+    # spaxels (C8) / invalid variances (C2).  Host work in the TARGET dtype:
+    # a float64 detour for a float32 problem doubles host memory and time
+    # (~2 min on a full MUSE field) for ≤0.5 ulp of the f32 result.
+    host_dtype = np.float64 if np.dtype(dtype) == np.float64 else np.float32
+    with np.errstate(divide="ignore", over="ignore"):
+        w = 1.0 / np.asarray(cube.variance, dtype=host_dtype)
     w[~np.isfinite(w)] = 0.0
     mask = np.asarray(cube.mask)
     w[:, mask] = 0.0
@@ -311,11 +327,11 @@ def make_problem(
         # the sampled posterior is then exactly the w̃-weighted one.
         w = np.asarray(
             jnp.asarray(w, jnp.bfloat16).astype(jnp.float64)
-        )
-    w_pad = np.zeros((L, Hp, Wp))
+        ).astype(host_dtype)
+    w_pad = np.zeros((L, Hp, Wp), dtype=host_dtype)
     w_pad[:, h : h + Y, h : h + X] = w
-    data_pad = np.zeros((L, Hp, Wp))
-    data_pad[:, h : h + Y, h : h + X] = np.asarray(cube.data, dtype=np.float64)
+    data_pad = np.zeros((L, Hp, Wp), dtype=host_dtype)
+    data_pad[:, h : h + Y, h : h + X] = np.asarray(cube.data, dtype=host_dtype)
 
     # Σ_{dy,dx} F²[λ,dy,dx] w[λ, y+dy, x+dx] for every spaxel: a depthwise
     # VALID correlation of the padded weights with F².  [L, Yc, Xc].
@@ -357,6 +373,13 @@ def make_problem(
             np.einsum("ml,myx->lyx", mat2, np.asarray(quad, np.float64)),
             dtype=dtype,
         )
+
+    if config.lambda_chunk is None:
+        slab_bytes = L * Yc * Xc * np.dtype(dtype).itemsize
+        lam_chunk = 0
+        if slab_bytes > 2**28:
+            lam_chunk = max(1, int(2**28 / (Yc * Xc * np.dtype(dtype).itemsize)))
+        config = dataclasses.replace(config, lambda_chunk=lam_chunk)
 
     chol = None
     if config.sampler == "gibbs_block":
@@ -422,7 +445,10 @@ def init_state(problem: Problem, cube: Optional[Cube] = None) -> SamplerState:
         log_scale = jnp.log(2.4 / np.sqrt(p.L) * sigma).astype(dtype)
     log_scale = jnp.where(p.valid, log_scale, 0.0)
 
-    zeros_c = jnp.zeros((p.L, p.Yc, p.Xc), dtype=dtype)
+    # sum_clean and sum_sq must be DISTINCT buffers: donated runs
+    # (run_sweeps on huge states) alias inputs to outputs, and two pytree
+    # leaves sharing one buffer make that aliasing ill-formed
+    # (INVALID_ARGUMENT from the TPU backend).
     return SamplerState(
         clean=clean,
         resid=resid,
@@ -432,8 +458,11 @@ def init_state(problem: Problem, cube: Optional[Cube] = None) -> SamplerState:
         log_scale=log_scale,
         n_accept=jnp.zeros((), jnp.float32),
         n_propose=jnp.zeros((), jnp.float32),
-        sum_clean=zeros_c,
-        sum_sq=zeros_c,
+        sum_clean=jnp.zeros((p.L, p.Yc, p.Xc), dtype=dtype),
+        sum_sq=(
+            jnp.zeros((p.L, p.Yc, p.Xc), dtype=dtype)
+            if cfg.track_variance else jnp.zeros((1, 1, 1), dtype=dtype)
+        ),
         n_kept=jnp.zeros((), jnp.float32),
         sweep=jnp.zeros((), jnp.int32),
     )
@@ -488,6 +517,56 @@ def _color_update(arr: jax.Array, vals: jax.Array, cy, cx, ny: int, nx: int, f: 
     return jax.lax.dynamic_update_slice(r, vals, starts).reshape(arr.shape)
 
 
+def _slab_bounds(L: int, cfg: RunConfig):
+    """Static λ-chunk boundaries for the slab reads/commits (huge fields).
+
+    Chunking is bit-identical to the full-λ path — every per-λ plane's
+    contraction and commit is independent — it only bounds the size of the
+    [Lc, BY, BX] temporaries so a 300×300×3681 field fits in HBM.
+    """
+    lc = cfg.lambda_chunk or 0
+    if lc <= 0 or lc >= L:
+        return [(0, L)]
+    return [(lo, min(lc, L - lo)) for lo in range(0, L, lc)]
+
+
+def _chunked_lin(p: Problem, resid, cy, cx, bounds):
+    """lin[λ, y, x] = Σ_{a,b} F[λ,a,b]·(resid·w)[λ, y·f+a, x·f+b], chunked."""
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    parts = []
+    for lo, n in bounds:
+        blk = jax.lax.dynamic_slice(
+            resid, (_i32(lo), _i32(cy), _i32(cx)), (n, ny * f, nx * f)
+        ).reshape(n, ny, f, nx, f)
+        wblk = jax.lax.dynamic_slice(
+            p.w_pad, (_i32(lo), _i32(cy), _i32(cx)), (n, ny * f, nx * f)
+        ).reshape(n, ny, f, nx, f)
+        parts.append(jnp.einsum(
+            "lab,lyaxb->lyx", jax.lax.slice_in_dim(p.fsf, lo, lo + n),
+            blk * wblk, precision=jax.lax.Precision.HIGHEST,
+        ))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _chunked_commit(p: Problem, resid, g_eff, cy, cx, bounds):
+    """resid ← resid − Σ outer(g, F) over the color block, λ-chunked."""
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    for lo, n in bounds:
+        delta = jnp.einsum(
+            "yxl,lab->lyaxb",
+            jax.lax.slice_in_dim(g_eff, lo, lo + n, axis=-1),
+            jax.lax.slice_in_dim(p.fsf, lo, lo + n),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(n, ny * f, nx * f)
+        cur = jax.lax.dynamic_slice(
+            resid, (_i32(lo), _i32(cy), _i32(cx)), (n, ny * f, nx * f)
+        )
+        resid = jax.lax.dynamic_update_slice(
+            resid, cur - delta, (_i32(lo), _i32(cy), _i32(cx))
+        )
+    return resid
+
+
 def _make_color_step(p: Problem):
     """One color update: propose/accept all spaxels of color (cy, cx) at once."""
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
@@ -522,18 +601,10 @@ def _make_color_step(p: Problem):
         # --- incremental delta (C4): Δ[μ,dy,dx] = g[μ]·F[μ,dy,dx]
         g = _lsf_apply_lastaxis(jumps, p.lsf)                        # [ny,nx,L]
 
-        # patch block: one dynamic_slice, then exact tiling reshape
-        block = jax.lax.dynamic_slice(
-            resid, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
-        ).reshape(L, ny, f, nx, f)
-        wblock = jax.lax.dynamic_slice(
-            p.w_pad, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
-        ).reshape(L, ny, f, nx, f)
-
         # Δchi² = Σ (Δ² - 2 r Δ) w  =  Σ_μ g² (Σ F² w)  -  2 Σ_μ g (Σ F r w)
+        bounds = _slab_bounds(L, cfg)
         quad_c = _color_slice(p.quad, cy, cx, ny, nx, f)             # [L,ny,nx]
-        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock,
-                         precision=jax.lax.Precision.HIGHEST)  # [L,ny,nx]
+        lin = _chunked_lin(p, resid, cy, cx, bounds)                 # [L,ny,nx]
         dchi2 = jnp.einsum(
             "yxl,lyx->yx", g * g, quad_c,
             precision=jax.lax.Precision.HIGHEST,
@@ -548,10 +619,9 @@ def _make_color_step(p: Problem):
         accf = accept.astype(resid.dtype)
 
         # --- commit: residual patches, clean spectra, chi² (Kahan)
-        delta = jnp.einsum("yxl,lab->lyaxb", g * accf[..., None], p.fsf,
-                           precision=jax.lax.Precision.HIGHEST)
-        block = (block - delta).reshape(L, ny * f, nx * f)
-        resid = jax.lax.dynamic_update_slice(resid, block, (_i32(0), _i32(cy), _i32(cx)))
+        resid = _chunked_commit(
+            p, resid, g * accf[..., None], cy, cx, bounds
+        )
 
         clean_c = _color_slice(clean, cy, cx, ny, nx, f)
         clean = _color_update(
@@ -621,15 +691,9 @@ def _make_gibbs_step(p: Problem):
 
         valid_c = _color_slice(p.valid, cy, cx, ny, nx, f)           # [ny,nx]
 
-        block = jax.lax.dynamic_slice(
-            resid, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
-        ).reshape(L, ny, f, nx, f)
-        wblock = jax.lax.dynamic_slice(
-            p.w_pad, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
-        ).reshape(L, ny, f, nx, f)
+        bounds = _slab_bounds(L, p.config)
         quad_c = _color_slice(p.quad, cy, cx, ny, nx, f)             # [L,ny,nx]
-        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock,
-                         precision=jax.lax.Precision.HIGHEST)        # [L,ny,nx]
+        lin = _chunked_lin(p, resid, cy, cx, bounds)                 # [L,ny,nx]
 
         # conditional N(c + linT/q, 1/q) for voxels with λ ≡ clam (mod lw)
         linT = _lsf_apply_T_lastaxis(jnp.moveaxis(lin, 0, -1), p.lsf)
@@ -671,12 +735,7 @@ def _make_gibbs_step(p: Problem):
             jnp.einsum("yxl,lyx->yx", g, lin,
                        precision=jax.lax.Precision.HIGHEST)
         )
-        delta = jnp.einsum("yxl,lab->lyaxb", g, p.fsf,
-                           precision=jax.lax.Precision.HIGHEST)
-        block = (block - delta).reshape(L, ny * f, nx * f)
-        resid = jax.lax.dynamic_update_slice(
-            resid, block, (_i32(0), _i32(cy), _i32(cx))
-        )
+        resid = _chunked_commit(p, resid, g, cy, cx, bounds)
         clean_c = _color_slice(clean, cy, cx, ny, nx, f)
         clean = _color_update(
             clean, clean_c + jnp.moveaxis(jumps, -1, 0), cy, cx, ny, nx, f
@@ -719,15 +778,9 @@ def _make_block_gibbs_step(p: Problem):
 
         valid_c = _color_slice(p.valid, cy, cx, ny, nx, f)           # [ny,nx]
 
-        block = jax.lax.dynamic_slice(
-            resid, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
-        ).reshape(L, ny, f, nx, f)
-        wblock = jax.lax.dynamic_slice(
-            p.w_pad, (_i32(0), _i32(cy), _i32(cx)), (L, ny * f, nx * f)
-        ).reshape(L, ny, f, nx, f)
+        bounds = _slab_bounds(L, p.config)
         quad_c = _color_slice(p.quad, cy, cx, ny, nx, f)             # [L,ny,nx]
-        lin = jnp.einsum("lab,lyaxb->lyx", p.fsf, block * wblock,
-                         precision=jax.lax.Precision.HIGHEST)        # [L,ny,nx]
+        lin = _chunked_lin(p, resid, cy, cx, bounds)                 # [L,ny,nx]
 
         # b = Mᵀ lin per spaxel; Cholesky factors precomputed in make_problem
         linT = _lsf_apply_T_lastaxis(jnp.moveaxis(lin, 0, -1), p.lsf)
@@ -751,12 +804,7 @@ def _make_block_gibbs_step(p: Problem):
             jnp.einsum("yxl,lyx->yx", g, lin,
                        precision=jax.lax.Precision.HIGHEST)
         )
-        delta = jnp.einsum("yxl,lab->lyaxb", g, p.fsf,
-                           precision=jax.lax.Precision.HIGHEST)
-        block = (block - delta).reshape(L, ny * f, nx * f)
-        resid = jax.lax.dynamic_update_slice(
-            resid, block, (_i32(0), _i32(cy), _i32(cx))
-        )
+        resid = _chunked_commit(p, resid, g, cy, cx, bounds)
         clean_c = _color_slice(clean, cy, cx, ny, nx, f)
         clean = _color_update(
             clean, clean_c + jnp.moveaxis(jumps, -1, 0), cy, cx, ny, nx, f
@@ -812,7 +860,10 @@ def _make_sweep(p: Problem):
             n_accept=state.n_accept + acc,
             n_propose=state.n_propose + nprop,
             sum_clean=state.sum_clean + keep_c * clean,
-            sum_sq=state.sum_sq + keep_c * clean * clean,
+            sum_sq=(
+                state.sum_sq + keep_c * clean * clean
+                if p.config.track_variance else state.sum_sq
+            ),
             n_kept=state.n_kept + keep.astype(jnp.float32),
             sweep=state.sweep + 1,
         )
@@ -843,11 +894,16 @@ def run_sweeps(
         from .ops.pallas_sweep import pallas_run_sweeps
 
         return pallas_run_sweeps(problem, state, n_sweeps)
+    if state.resid.nbytes > 2**28:
+        # Huge fields: donate the state so XLA updates the ~10 GB pytree in
+        # place instead of holding input+output copies (the full MUSE field
+        # OOMs 16 GB HBM otherwise).  The passed-in state is CONSUMED —
+        # every production caller threads result.state forward anyway.
+        return _jnp_run_sweeps_donated(problem, state, n_sweeps)
     return _jnp_run_sweeps(problem, state, n_sweeps)
 
 
-@partial(jax.jit, static_argnames=("n_sweeps",))
-def _jnp_run_sweeps(
+def _jnp_run_sweeps_impl(
     problem: Problem, state: SamplerState, n_sweeps: int
 ) -> ChainResult:
     cfg = problem.config
@@ -866,6 +922,14 @@ def _jnp_run_sweeps(
         state=state, chi2_trace=chi2_t, accept_trace=acc_t, flux_trace=flux_t,
         monitor_trace=mon_t,
     )
+
+
+_jnp_run_sweeps = partial(
+    jax.jit, static_argnames=("n_sweeps",)
+)(_jnp_run_sweeps_impl)
+_jnp_run_sweeps_donated = partial(
+    jax.jit, static_argnames=("n_sweeps",), donate_argnums=(1,)
+)(_jnp_run_sweeps_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -891,6 +955,10 @@ def posterior_mean(problem: Problem, state: SamplerState) -> jax.Array:
 
 def posterior_std(problem: Problem, state: SamplerState) -> jax.Array:
     p = problem
+    if not p.config.track_variance:
+        raise ValueError(
+            "posterior std unavailable: the run used track_variance=False"
+        )
     n = jnp.maximum(state.n_kept, 1.0)
     mean = state.sum_clean / n
     var = jnp.maximum(state.sum_sq / n - mean * mean, 0.0)

