@@ -17,7 +17,6 @@ routines are batched over arbitrary leading dims and jit/scan-friendly
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ single-device jnp engine, which is the strongest possible correctness test
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

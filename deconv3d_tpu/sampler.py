@@ -233,6 +233,39 @@ class ChainResult:
 # Problem construction
 # ---------------------------------------------------------------------------
 
+def _quad_conv(w_pad: jax.Array, fsf_np: np.ndarray, dtype,
+               chunk: int = 512) -> jax.Array:
+    """Depthwise VALID correlation of w with F², λ-chunked, on device."""
+    L = w_pad.shape[0]
+    fsf2 = jnp.asarray(np.asarray(fsf_np, np.float64) ** 2, dtype=dtype)
+
+    def one(wc, fc):
+        return jax.lax.conv_general_dilated(
+            wc[None].astype(dtype),
+            fc[:, None],
+            window_strides=(1, 1),
+            padding="VALID",
+            feature_group_count=wc.shape[0],
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+
+    if L <= chunk:
+        return one(w_pad, fsf2)
+    outs = []
+    for lo in range(0, L, chunk):
+        n = min(chunk, L - lo)
+        wc, fc = w_pad[lo : lo + n], fsf2[lo : lo + n]
+        if n < chunk:  # pad the tail so every call reuses one compiled shape
+            wc = jnp.concatenate(
+                [wc, jnp.zeros((chunk - n,) + wc.shape[1:], wc.dtype)]
+            )
+            fc = jnp.concatenate(
+                [fc, jnp.zeros((chunk - n,) + fc.shape[1:], fc.dtype)]
+            )
+        outs.append(one(wc, fc)[:n])
+    return jnp.concatenate(outs)
+
+
 def make_problem(
     cube: Cube, instrument: Instrument, config: RunConfig = RunConfig()
 ) -> Problem:
@@ -312,45 +345,41 @@ def make_problem(
     h = f // 2
 
     # weights on the padded grid; zero outside the data region and at masked
-    # spaxels (C8) / invalid variances (C2).  Host work in the TARGET dtype:
-    # a float64 detour for a float32 problem doubles host memory and time
-    # (~2 min on a full MUSE field) for ≤0.5 ulp of the f32 result.
-    host_dtype = np.float64 if np.dtype(dtype) == np.float64 else np.float32
-    with np.errstate(divide="ignore", over="ignore"):
-        w = 1.0 / np.asarray(cube.variance, dtype=host_dtype)
-    w[~np.isfinite(w)] = 0.0
-    mask = np.asarray(cube.mask)
-    w[:, mask] = 0.0
+    # spaxels (C8) / invalid variances (C2).  All ON DEVICE: the sanitized
+    # cube's arrays already live there, and pulling GB-size cubes back to
+    # the host is pathologically slow through a tunneled PJRT device
+    # (~7 MB/s measured on a full MUSE field → minutes per array).
+    var = jnp.asarray(cube.variance, dtype=dtype)
+    w = jnp.where(
+        jnp.isfinite(var) & (var > 0), 1.0 / var, jnp.asarray(0.0, dtype)
+    )
+    mask_np = np.asarray(cube.mask)
+    w = jnp.where(jnp.asarray(mask_np)[None], jnp.asarray(0.0, dtype), w)
     if engine == "pallas":
         # the kernel keeps weights VMEM-resident in bfloat16; round here so
         # quad, chi² and accepts all see the *same* (slightly coarser) w̃ —
         # the sampled posterior is then exactly the w̃-weighted one.
-        w = np.asarray(
-            jnp.asarray(w, jnp.bfloat16).astype(jnp.float64)
-        ).astype(host_dtype)
-    w_pad = np.zeros((L, Hp, Wp), dtype=host_dtype)
-    w_pad[:, h : h + Y, h : h + X] = w
-    data_pad = np.zeros((L, Hp, Wp), dtype=host_dtype)
-    data_pad[:, h : h + Y, h : h + X] = np.asarray(cube.data, dtype=host_dtype)
+        w = w.astype(jnp.bfloat16).astype(dtype)
+    w_pad = jnp.zeros((L, Hp, Wp), dtype=dtype).at[
+        :, h : h + Y, h : h + X
+    ].set(w)
+    data_pad = jnp.zeros((L, Hp, Wp), dtype=dtype).at[
+        :, h : h + Y, h : h + X
+    ].set(jnp.asarray(cube.data, dtype=dtype))
 
     # Σ_{dy,dx} F²[λ,dy,dx] w[λ, y+dy, x+dx] for every spaxel: a depthwise
     # VALID correlation of the padded weights with F².  [L, Yc, Xc].
-    quad = jax.lax.conv_general_dilated(
-        jnp.asarray(w_pad, dtype=dtype)[None],
-        jnp.asarray(fsf_np**2, dtype=dtype)[:, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        feature_group_count=L,
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]
-    quad = np.asarray(quad)
+    # Chunked over λ: compile time of a grouped conv grows with the group
+    # count, so a full MUSE field (3681 groups) is built as fixed 512-group
+    # convs — one small compile, reused per chunk.
+    quad = _quad_conv(w_pad, fsf_np, dtype)
 
     valid = np.zeros((Yc, Xc), dtype=bool)
-    valid[:Y, :X] = ~mask
+    valid[:Y, :X] = ~mask_np
     # spaxels with zero total weight in their footprint have an improper flat
     # conditional — freeze them at their initial value instead of letting them
-    # random-walk (SURVEY.md §2 "Masking").
-    valid &= quad.sum(axis=0) > 0
+    # random-walk (SURVEY.md §2 "Masking").  (Tiny d2h transfer.)
+    valid &= np.asarray(jnp.sum(quad, axis=0) > 0)
 
     # deterministic set of monitored voxels (for per-parameter R̂, C9):
     # spread across valid spaxels and the spectral axis.
@@ -368,11 +397,18 @@ def make_problem(
     if config.sampler == "gibbs":
         # conditional precision of a single voxel (λ0, y, x) under the
         # separable model: q = Σ_μ M[μ,λ0]² · (Σ_{dy,dx} F²[μ] w[μ,·,·]).
-        mat2 = cv.lsf_matrix(lsf_np) ** 2                  # [L, L] float64
-        qvox = jnp.asarray(
-            np.einsum("ml,myx->lyx", mat2, np.asarray(quad, np.float64)),
-            dtype=dtype,
-        )
+        # M is banded (lw wide) — the diagonal of banded.precision_bands is
+        # exactly this sum, on device, O(L·lw) instead of a dense L×L
+        # einsum (which is O(L²) host flops and a GB-scale d2h round-trip
+        # on a full field).
+        from .ops import banded
+
+        qvox = jnp.moveaxis(
+            banded.precision_bands(
+                jnp.asarray(lsf_np, dtype=dtype), jnp.moveaxis(quad, 0, -1)
+            )[..., 0],
+            -1, 0,
+        ).astype(dtype)
 
     if config.lambda_chunk is None:
         slab_bytes = L * Yc * Xc * np.dtype(dtype).itemsize
@@ -396,9 +432,9 @@ def make_problem(
         L=L, Y=Y, X=X, f=f, ny=ny, nx=nx,
         fsf=jnp.asarray(fsf_np, dtype=dtype),
         lsf=jnp.asarray(lsf_np, dtype=dtype),
-        data_pad=jnp.asarray(data_pad, dtype=dtype),
-        w_pad=jnp.asarray(w_pad, dtype=dtype),
-        quad=jnp.asarray(quad, dtype=dtype),
+        data_pad=data_pad,
+        w_pad=w_pad,
+        quad=quad.astype(dtype),
         valid=jnp.asarray(valid),
         monitor_idx=jnp.asarray(monitor),
         fsf_spec=fsf_spec,
