@@ -32,6 +32,9 @@ CHILD = textwrap.dedent(
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # testdir for the _make_toy helper, its parent for the package itself
+    # (the repo may not be pip-installed in a fresh container)
+    sys.path.insert(0, os.path.dirname({testdir!r}))
     sys.path.insert(0, {testdir!r})
     import numpy as np
     from deconv3d_tpu import Run
