@@ -45,7 +45,13 @@ CHILD = textwrap.dedent(
               fsf_size=5, lsf_width=5, dtype=np.float64,
               segment_size={seg}, checkpoint_path={ckpt!r})
     print("READY", flush=True)   # parent starts watching for checkpoints
-    run.run()
+    # Drive the run segment by segment with a pause after each checkpoint so
+    # the parent has a deterministic window to SIGKILL us mid-run (without
+    # the pause the whole toy run can finish between two parent polls).
+    import time
+    while run.sweeps_done < {total}:
+        run.run(n_sweeps={seg})
+        time.sleep(0.5)
     print("FINISHED", flush=True)  # should never print: parent kills us
     """
 )
@@ -99,8 +105,11 @@ def test_sigkill_mid_run_resumes_bit_exact(tmp_path):
                   fsf_size=5, lsf_width=5, dtype=np.float64,
                   segment_size=SEG)
     resumed.resume(ckpt)
-    assert resumed.sweeps_done == killed_at
-    resumed.run(n_sweeps=TOTAL - killed_at)
+    # The child may have written one more segment checkpoint between the
+    # parent's read and the SIGKILL landing — any mid-run checkpoint at or
+    # past the observed one is a valid kill point.
+    assert killed_at <= resumed.sweeps_done < TOTAL
+    resumed.run(n_sweeps=TOTAL - resumed.sweeps_done)
 
     reference = _run_reference(tmp_path)
     np.testing.assert_array_equal(
