@@ -32,7 +32,7 @@ def check(name, ok, detail=""):
 
 
 def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
-                   seed=1, sampler="mh"):
+                   seed=1, sampler="mh", engine="pallas", tile=None):
     rng = np.random.default_rng(0)
     truth = np.zeros((L, Y, X), np.float32)
     truth[L // 2, Y // 2, X // 2] = 5.0
@@ -45,8 +45,8 @@ def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
     )
     cfg = sm.RunConfig(
         max_iterations=n_sweeps, burn_in=n_sweeps // 4, seed=seed,
-        fsf_size=fsf_size, lsf_width=lsf_width, engine="pallas",
-        sampler=sampler,
+        fsf_size=fsf_size, lsf_width=lsf_width, engine=engine,
+        sampler=sampler, tile=tile,
     )
     p = sm.make_problem(cube, inst, cfg)
     res = sm.run_sweeps(p, sm.init_state(p), n_sweeps)
@@ -62,7 +62,8 @@ def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
     inv_err = np.abs(np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]).max()
     chi_r, chi_f = float(st.chi2), float(sm.full_chi2(p, st))
     ok = check(
-        f"invariant  L={L} {type(fsf).__name__[:6]} var={var} {sampler}",
+        f"invariant  L={L} {type(fsf).__name__[:6]} var={var} {sampler} "
+        f"{engine}{tile or ''}",
         inv_err / scale < 3e-5 and abs(chi_r - chi_f) / max(chi_f, 1.0) < 2e-5,
         f"resid_err={inv_err:.2e} chi2_rel={(chi_r - chi_f) / chi_f:+.2e} "
         f"acc={float(st.n_accept):.0f}",
@@ -80,7 +81,7 @@ def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
     return ok
 
 
-def statistical_case():
+def statistical_case(engine="pallas", tile=None):
     import scipy.signal
 
     rng = np.random.default_rng(42)
@@ -93,7 +94,7 @@ def statistical_case():
         fsf=ins.GaussianFSF(fwhm=0.25), lsf=ins.GaussianLSF(fwhm=1.0)
     )
     cfg = sm.RunConfig(max_iterations=8000, burn_in=1000, seed=13,
-                       fsf_size=3, lsf_width=3, engine="pallas")
+                       fsf_size=3, lsf_width=3, engine=engine, tile=tile)
     p0 = sm.make_problem(
         Cube.from_data(truth, variance=np.full_like(truth, noise**2),
                        crval=4750.0, cdelt=1.25),
@@ -136,12 +137,46 @@ def statistical_case():
     z = (pm - mean) / sig
     ratio = np.median(ps / sig)
     return check(
-        "statistical (conjugate toy)",
+        f"statistical (conjugate toy) {engine}{tile or ''}",
         np.abs(z).mean() < 0.2 and np.abs(z).max() < 1.0
         and abs(ratio - 1.0) < 0.1,
         f"mean|z|={np.abs(z).mean():.3f} max|z|={np.abs(z).max():.3f} "
         f"std_ratio={ratio:.3f}",
     )
+
+
+def tiled_segmentation_case():
+    """HBM-tiled kernel: segmented == monolithic, bit-exact (resume path)."""
+    rng = np.random.default_rng(5)
+    L, Y, X = 64, 20, 20
+    var = 0.04
+    truth = np.zeros((L, Y, X), np.float32)
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.5), lsf=ins.GaussianLSF(fwhm=2.0)
+    )
+    data = truth + np.sqrt(var) * rng.standard_normal((L, Y, X)).astype(
+        np.float32
+    )
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, var), crval=4750.0, cdelt=1.25
+    )
+    cfg = sm.RunConfig(
+        max_iterations=6, burn_in=2, seed=11, fsf_size=5, lsf_width=5,
+        engine="pallas_tiled", tile=(2, 2),
+    )
+    p = sm.make_problem(cube, inst, cfg)
+    assert p.config.engine == "pallas_tiled", p.config.engine
+    mono = sm.run_sweeps(p, sm.init_state(p), 6)
+    part = sm.run_sweeps(p, sm.init_state(p), 3)
+    part2 = sm.run_sweeps(p, part.state, 3)
+    ok = check(
+        "tiled segmented == monolithic",
+        bool(jnp.array_equal(mono.state.clean, part2.state.clean))
+        and bool(jnp.array_equal(mono.state.resid, part2.state.resid))
+        and float(mono.state.chi2) == float(part2.state.chi2),
+    )
+    return ok
 
 
 def multichain_case(n_chains=8, sampler="mh", n_sweeps=100):
@@ -230,6 +265,21 @@ def main():
     ok &= multichain_case(8, "mh")
     ok &= multichain_case(8, "gibbs", n_sweeps=60)
     ok &= statistical_case()
+    # ---- HBM-tiled kernel (ops/pallas_tiled.py): multi-tile geometries ----
+    # f=5 with nx_t=2 exercises the 16-misaligned window base (xoff=10, 30).
+    ok &= invariant_case(
+        ins.GaussianFSF(fwhm=0.5), ins.GaussianLSF(fwhm=2.0),
+        5, 5, 64, 20, 20, 0.04, 150, engine="pallas_tiled", tile=(2, 2),
+    )
+    # chromatic Moffat (rank>1) through the tiled path, 1-spaxel tiles
+    ok &= invariant_case(
+        ins.MoffatFSF(fwhm=0.66, beta=2.6, lambda_ref=4800.0,
+                      fwhm_slope=-3e-5),
+        ins.MUSELSF(), 9, 7, 64, 15, 15, 0.25, 80,
+        engine="pallas_tiled", tile=(1, 1),
+    )
+    ok &= tiled_segmentation_case()
+    ok &= statistical_case(engine="pallas_tiled", tile=(1, 2))
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 

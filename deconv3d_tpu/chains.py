@@ -200,6 +200,27 @@ def run_chains(
             result=pallas_run_sweeps_batched(problem, states, n_sweeps)
         )
 
+    if problem.config.engine == "pallas_tiled":
+        # Huge-field engine (HBM-tiled kernel): chains run back-to-back —
+        # a full-field chain's state is GB-scale, so batching chains into
+        # one kernel would multiply the cube-size HBM footprint.  Typical
+        # full-field runs use n_chains=1.
+        from .ops.pallas_tiled import tiled_run_sweeps
+
+        results = [
+            tiled_run_sweeps(
+                problem,
+                jax.tree_util.tree_map(lambda x, i=i: x[i], states),
+                n_sweeps,
+            )
+            for i in range(n_chains)
+        ]
+        return MultiChainResult(
+            result=jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, axis=0), *results
+            )
+        )
+
     if mesh is None and len(jax.devices()) > 1:
         ndev = len(jax.devices())
         if n_chains % ndev == 0:

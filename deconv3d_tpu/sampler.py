@@ -96,8 +96,23 @@ class RunConfig:
     lsf_width: Optional[int] = None
     seed: int = 0
     dtype: np.dtype = np.float32
-    # execution engine: 'auto' → fused Pallas kernel on TPU, jnp elsewhere.
-    engine: str = "auto"                   # 'auto' | 'jnp' | 'pallas'
+    # execution engine: 'auto' → fused Pallas kernel on TPU (whole-cube
+    # VMEM-resident when it fits, HBM-tiled otherwise), jnp elsewhere.
+    engine: str = "auto"         # 'auto' | 'jnp' | 'pallas' | 'pallas_tiled'
+    # (ny_t, nx_t) tile of the pallas_tiled engine; planned by make_problem
+    # when left None (rides in static config metadata — hashable tuple).
+    tile: Optional[Tuple[int, int]] = None
+    # coarse-grid blocked MH moves (ops/coarse.py): after every
+    # ``coarse_every`` sweeps, one 4-color pass of block-level spectrum
+    # jumps (f×f blocks) — long-range spatial mixing the single-site sweep
+    # lacks.  None/0 disables.  Composes with every engine and sampler mode
+    # except positivity (a shared block jump cannot reflect per-voxel).
+    coarse_every: Optional[int] = None
+    coarse_scale: float = 2.4            # × L^-1/2 · quadR^-1/2 proposal σ
+    # pattern family: 'soft' (FSF-autocorrelation eigen-patterns — the
+    # blur-null in-block directions), 'block' (smooth f×f moves),
+    # 'mixed' (both).
+    coarse_mode: str = "mixed"
     # jnp engine, huge fields: process the slab reads/commits of a color
     # step in λ-chunks of this many planes so temporaries stay bounded.
     # Ulp-equivalent to the full-λ path: the patch contraction has no
@@ -286,21 +301,29 @@ def make_problem(
             "truncated multivariate conditional has no closed form — use "
             "sampler='gibbs' (exact truncated-normal voxel draws) or 'mh'."
         )
+    if config.coarse_every and config.positivity:
+        raise ValueError(
+            "coarse_every adds one shared jump per block, which cannot "
+            "respect per-voxel positivity — disable one of the two."
+        )
     engine = config.engine
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if engine == "pallas" and config.positivity:
-        # the fused kernel never reads the clean cube, so the reflective
+    if engine in ("pallas", "pallas_tiled") and config.positivity:
+        # the fused kernels never read the clean cube, so the reflective
         # positivity proposal runs on the jnp engine.
         engine = "jnp"
-    if engine == "pallas" and config.sampler == "gibbs_block":
+    if engine in ("pallas", "pallas_tiled") and config.sampler == "gibbs_block":
         # banded-Cholesky scans are XLA territory, not a fused-kernel fit
         engine = "jnp"
+    tile = config.tile
     if engine == "pallas":
-        # Size-aware engine resolution (VERDICT r1 weak #3): the fused kernel
-        # keeps the whole padded residual + weights VMEM-resident, which caps
-        # the geometry.  Too-big problems fall back to jnp (auto) or raise
-        # (explicit request) instead of dying in a Mosaic/VMEM compile crash.
+        # Size-aware engine resolution (VERDICT r1 weak #3): the whole-cube
+        # fused kernel keeps the padded residual + weights VMEM-resident,
+        # which caps the geometry.  Too-big problems step down to the
+        # HBM-tiled kernel (MH only) and then to jnp — or raise on an
+        # explicit engine='pallas' request — instead of dying in a
+        # Mosaic/VMEM compile crash.
         from .ops.pallas_sweep import VMEM_BUDGET_BYTES, segment_vmem_bytes
 
         _f = fsf_np.shape[-1]
@@ -316,17 +339,53 @@ def make_problem(
             )
             if config.engine == "pallas":
                 raise ValueError(
-                    msg + " — use engine='jnp' (or 'auto') for this size."
+                    msg + " — use engine='pallas_tiled', 'jnp' or 'auto' "
+                    "for this size."
                 )
             import logging
 
-            logging.getLogger("deconv3d_tpu").warning(
-                "%s — falling back to the jnp engine.", msg
+            if config.sampler == "mh":
+                from .ops.pallas_tiled import plan_tiles
+
+                tile = plan_tiles(
+                    _f, _ny, _nx, L, lsf_np.shape[-1], config.fsf_max_rank
+                )
+            else:
+                tile = None
+            if tile is not None:
+                engine = "pallas_tiled"
+                logging.getLogger("deconv3d_tpu").info(
+                    "%s — using the HBM-tiled kernel with %s tiles.",
+                    msg, tile,
+                )
+            else:
+                logging.getLogger("deconv3d_tpu").warning(
+                    "%s — falling back to the jnp engine.", msg
+                )
+                engine = "jnp"
+    if engine == "pallas_tiled":
+        from .ops.pallas_tiled import plan_tiles
+
+        if config.sampler != "mh":
+            raise ValueError(
+                "engine='pallas_tiled' supports sampler='mh' only; the "
+                "exact-Gibbs λ-phase loop is compile-size hostile at "
+                "full-field λ — use engine='jnp' for gibbs on large fields."
             )
-            engine = "jnp"
-    config = dataclasses.replace(config, engine=engine)
+        _f = fsf_np.shape[-1]
+        _ny, _nx = -(-Y // _f), -(-X // _f)
+        if tile is None:
+            tile = plan_tiles(
+                _f, _ny, _nx, L, lsf_np.shape[-1], config.fsf_max_rank
+            )
+        if tile is None:
+            raise ValueError(
+                f"no (ny_t, nx_t) tiling of L={L} Y={Y} X={X} f={_f} fits "
+                "the VMEM budget — use engine='jnp'."
+            )
+    config = dataclasses.replace(config, engine=engine, tile=tile)
     fsf_spec = fsf_imgs = None
-    if engine == "pallas":
+    if engine in ("pallas", "pallas_tiled"):
         # The fused kernel contracts patches on the MXU via the low-rank bank
         # F̃ = Σ_s spec·img (ops/fsf_factor.py).  The reconstruction becomes
         # the forward model everywhere, so the chain is exact for F̃.
@@ -355,7 +414,7 @@ def make_problem(
     )
     mask_np = np.asarray(cube.mask)
     w = jnp.where(jnp.asarray(mask_np)[None], jnp.asarray(0.0, dtype), w)
-    if engine == "pallas":
+    if engine in ("pallas", "pallas_tiled"):
         # the kernel keeps weights VMEM-resident in bfloat16; round here so
         # quad, chi² and accepts all see the *same* (slightly coarser) w̃ —
         # the sampled posterior is then exactly the w̃-weighted one.
@@ -919,17 +978,70 @@ def run_sweeps(
 ) -> ChainResult:
     """Run ``n_sweeps`` full Gibbs sweeps (the hot path).
 
-    Dispatches to the fused Pallas kernel (TPU) or the pure-jnp scan — both
+    Dispatches to the fused Pallas kernels (TPU) or the pure-jnp scan — all
     produce the same ChainResult contract and sample the same posterior.
 
     Burn-in handling: sweeps before ``burn_in`` adapt the per-spaxel jump
     scale and are excluded from the posterior accumulators; the schedule is
     data to the scan (no recompilation at the burn-in boundary).
+
+    With ``coarse_every`` set, a coarse-grid blocked pass (ops/coarse.py)
+    runs after every ``coarse_every``-th absolute sweep — chunk boundaries
+    follow the ABSOLUTE sweep counter, so any segmentation/resume applies
+    the passes at identical points.
     """
+    if problem.config.coarse_every:
+        return _run_sweeps_coarse(problem, state, n_sweeps)
+    return _engine_run_sweeps(problem, state, n_sweeps)
+
+
+def _run_sweeps_coarse(
+    problem: Problem, state: SamplerState, n_sweeps: int
+) -> ChainResult:
+    from .ops.coarse import coarse_constants, coarse_pass
+
+    cfg = problem.config
+    every = int(cfg.coarse_every)
+    constants = coarse_constants(problem, cfg.coarse_mode)
+    parts = []
+    cur = state
+    left = n_sweeps
+    while left > 0:
+        done = int(np.asarray(cur.sweep))
+        k = min(left, every - (done % every))
+        r = _engine_run_sweeps(problem, cur, k)
+        cur = r.state
+        if int(np.asarray(cur.sweep)) % every == 0:
+            key = jax.random.fold_in(cur.key, cur.sweep)
+            cur = coarse_pass(
+                problem, cur, constants, key,
+                scale_mult=float(cfg.coarse_scale),
+            )
+            r = dataclasses.replace(r, state=cur)
+        parts.append(r)
+        left -= k
+    if len(parts) == 1:
+        return parts[0]
+    return ChainResult(
+        state=cur,
+        chi2_trace=jnp.concatenate([r.chi2_trace for r in parts]),
+        accept_trace=jnp.concatenate([r.accept_trace for r in parts]),
+        flux_trace=jnp.concatenate([r.flux_trace for r in parts]),
+        monitor_trace=jnp.concatenate([r.monitor_trace for r in parts]),
+    )
+
+
+def _engine_run_sweeps(
+    problem: Problem, state: SamplerState, n_sweeps: int
+) -> ChainResult:
     if problem.config.engine == "pallas":
         from .ops.pallas_sweep import pallas_run_sweeps
 
         return pallas_run_sweeps(problem, state, n_sweeps)
+    if problem.config.engine == "pallas_tiled":
+        from .ops.pallas_tiled import tiled_run_sweeps
+
+        return tiled_run_sweeps(problem, state, n_sweeps)
     if state.resid.nbytes > 2**28:
         # Huge fields: donate the state so XLA updates the ~10 GB pytree in
         # place instead of holding input+output copies (the full MUSE field
