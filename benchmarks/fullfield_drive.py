@@ -70,17 +70,34 @@ def main():
     print(f"init_state in {time.time()-t0:.0f}s chi2={float(state.chi2):.4g}",
           flush=True)
 
+    # One segment-cap batch per run_sweeps call, blocking between calls:
+    # on this remote/async backend an unbounded dispatch queue keeps
+    # several segments' working sets live at once and can OOM a run whose
+    # standing footprint (~7.4 GiB) is otherwise comfortable.  This is
+    # also exactly the production cadence (Run.run segments + checkpoint).
+    cap = 1
+    if problem.config.engine == "pallas_tiled":
+        from deconv3d_tpu.ops.pallas_tiled import _max_segment
+
+        cap = _max_segment(problem)
     t0 = time.time()
-    res = sm.run_sweeps(problem, state, args.warmup)
+    res = sm.run_sweeps(problem, state, cap)
+    del state
     jax.block_until_ready(res.state.clean)
-    print(f"warmup ({args.warmup} sweeps, incl. compile) {time.time()-t0:.0f}s",
+    print(f"warmup ({cap} sweeps, incl. compile) {time.time()-t0:.0f}s",
           flush=True)
 
+    n_timed = max(cap, (args.sweeps // cap) * cap)
     t0 = time.time()
-    res = sm.run_sweeps(problem, res.state, args.sweeps)
+    done = 0
+    while done < n_timed:
+        res = sm.run_sweeps(problem, res.state, cap)
+        jax.block_until_ready(res.state.chi2)
+        done += cap
     jax.block_until_ready(res.state.clean)
     dt = time.time() - t0
-    sweeps_per_sec = args.sweeps / dt
+    args.sweeps = n_timed
+    sweeps_per_sec = n_timed / dt
     st = res.state
     chi_r = float(st.chi2)
     chi_f = float(sm.full_chi2(problem, st))

@@ -163,18 +163,20 @@ def coarse_constants(problem, mode: str = "soft"):
     """
     p = problem
     valid = np.asarray(p.valid)
+    # w_pad may be stored bf16 (pallas_tiled engine); convs need one dtype
+    w_pad = p.w_pad.astype(p.config.dtype)
     out = []
     for pat in _patterns(problem, mode):
         R = pattern_response(p.fsf, pat)
-        quad_r = _depthwise_strided(p.w_pad, R * R, p.f)[:, : p.ny, : p.nx]
+        quad_r = _depthwise_strided(w_pad, R * R, p.f)[:, : p.ny, : p.nx]
         ok = np.ones((p.ny, p.nx), bool)
         support = np.argwhere(pat != 0.0)
         for a, b in support:
             ok &= valid[a :: p.f, b :: p.f][: p.ny, : p.nx]
         valid_r = jnp.asarray(
-            ok & np.asarray(jnp.sum(quad_r, axis=0) > 0), p.w_pad.dtype
+            ok & np.asarray(jnp.sum(quad_r, axis=0) > 0), p.config.dtype
         )
-        out.append((jnp.asarray(pat, p.w_pad.dtype), R, quad_r, valid_r))
+        out.append((jnp.asarray(pat, p.config.dtype), R, quad_r, valid_r))
     return out
 
 
@@ -211,7 +213,7 @@ def _pattern_pass(problem, state, pat, R, quad_r, valid_r, key,
             -1, 0,
         )                                               # [L, ny, nx]
 
-        lin = _depthwise_strided(resid * p.w_pad, R, B)[:, :ny, :nx]
+        lin = _depthwise_strided(resid * p.w_pad.astype(resid.dtype), R, B)[:, :ny, :nx]
         dchi = (
             jnp.einsum("lij,lij->ij", g * g, quad_r,
                        precision=jax.lax.Precision.HIGHEST)

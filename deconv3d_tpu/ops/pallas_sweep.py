@@ -535,13 +535,18 @@ def _dclean_to_cube(dclean: jax.Array, ny, nx, f, L, Lp) -> jax.Array:
 # Full ChainResult contract on top of the kernel
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+@functools.partial(jax.jit, static_argnames=("n_sweeps", "skip_resid"))
 def _assemble(problem: sm.Problem, states: sm.SamplerState, n_sweeps: int,
-              carry_out, raw):
+              carry_out, raw, skip_resid: bool = False):
     """Rebuild clean/accumulators/traces from per-(sweep,color) outputs.
 
     Batched: every leaf of ``states`` / ``carry_out`` / ``raw`` has a
     leading chain axis; the per-chain core is vmapped over it.
+
+    ``skip_resid=True`` (tiled engine, internal segments): the residual
+    stays in the caller's window-layout carry and the intermediate state's
+    resid is never consumed — emit a (1,1,1) dummy instead of a GB-scale
+    unlayout per sweep.
     """
     p = problem
     cfg = p.config
@@ -550,9 +555,14 @@ def _assemble(problem: sm.Problem, states: sm.SamplerState, n_sweeps: int,
     validf = p.valid.astype(states.clean.dtype)
 
     def core(state, resid_o, ls_o, dclean, accn, dchia):
-        dsweep = _dclean_to_cube(
-            dclean, p.ny, p.nx, p.f, p.L, _pad_lanes(p.L)
-        ).astype(state.clean.dtype)
+        if dclean.ndim == 4:
+            # already per-sweep cubes [K, L, Yc, Xc] (tiled engine — avoids
+            # holding a second GB-scale flat-layout copy on full fields)
+            dsweep = dclean.astype(state.clean.dtype)
+        else:
+            dsweep = _dclean_to_cube(
+                dclean, p.ny, p.nx, p.f, p.L, _pad_lanes(p.L)
+            ).astype(state.clean.dtype)
 
         idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
         burn = cfg.resolved_burn_in()
@@ -592,16 +602,29 @@ def _assemble(problem: sm.Problem, states: sm.SamplerState, n_sweeps: int,
 
         init = (state.clean, state.chi2, state.chi2_comp,
                 state.sum_clean, state.sum_sq, state.n_kept)
-        (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), (
-            chi2_t, flux_t, mon_t
-        ) = jax.lax.scan(body, init, (dsweep, dchi_sweep, keep))
+        if n_sweeps == 1:
+            # full-field segments are 1 sweep (dclean HBM cap): skip the
+            # scan — its ping-pong carry buffers would cost a second
+            # clean+accumulator copy (~2.8 GB on a MUSE field)
+            (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), tr = body(
+                init, (dsweep[0], dchi_sweep[0], keep[0])
+            )
+            chi2_t, flux_t, mon_t = tuple(
+                jnp.expand_dims(t, 0) for t in tr
+            )
+        else:
+            (clean, chi2, chi2c, sum_clean, sum_sq, n_kept), (
+                chi2_t, flux_t, mon_t
+            ) = jax.lax.scan(body, init, (dsweep, dchi_sweep, keep))
 
         key, _ = jax.random.split(state.key)
+        new_resid = (
+            jnp.zeros((1, 1, 1), state.resid.dtype) if skip_resid
+            else _cube_unlayout(resid_o, p.L, p.Wp).astype(state.resid.dtype)
+        )
         new_state = sm.SamplerState(
             clean=clean,
-            resid=_cube_unlayout(resid_o, p.L, p.Wp).astype(
-                state.resid.dtype
-            ),
+            resid=new_resid,
             key=key,
             chi2=chi2,
             chi2_comp=chi2c,

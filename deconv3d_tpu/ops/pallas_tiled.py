@@ -67,6 +67,11 @@ def _round16(n: int) -> int:
     return -(-n // 16) * 16
 
 
+def _pad_lanes_of(L: int) -> int:
+    """Public alias for make_problem's quad pre-relayout."""
+    return _pad_lanes(L)
+
+
 def tile_geometry(f: int, ny_t: int, nx_t: int):
     """Window geometry for one tile.
 
@@ -390,9 +395,7 @@ def _tiled_segment_arrays(problem: sm.Problem, carry, adapt, seed, sweep0,
     valid_k = _tiled_color_layout(
         p.valid.astype(jnp.float32), ny, nx, f, ny_t, nx_t
     )
-    quad_k = _tiled_quad_layout(
-        p.quad.astype(jnp.float32), ny, nx, f, ny_t, nx_t, L, Lp
-    )
+    quad_k = p.quad_tiled.astype(jnp.float32)  # pre-relayouted in make_problem
 
     kernel = _make_tiled_kernel(
         f=f, ny_t=ny_t, nx_t=nx_t, n_ty=n_ty, n_tx=n_tx, L=L, Lp=Lp, lw=lw,
@@ -470,16 +473,17 @@ def _tiled_segment_arrays(problem: sm.Problem, carry, adapt, seed, sweep0,
         btile, m2t, spec, lsfT, valid_k, ls_k, quad_k, resid_k, w_k,
     )
 
-    # tiled raw -> the whole-cube kernel's global layout, then reuse its
-    # _assemble contract verbatim (leading chain axis of 1).
-    dclean_g = (
-        dclean.reshape(n_sweeps, n_colors, n_ty, n_tx, ny_t, nx_t, Lp)
-        .transpose(0, 1, 2, 4, 3, 5, 6)
-        .reshape(n_sweeps, n_colors, ny * nx * Lp)
+    # tiled raw -> per-sweep clean-increment cubes in ONE transpose
+    # (HBM: a full-field dclean is 1.4 GB/sweep; going through the global
+    # flat layout would hold a second copy)
+    dclean_cube = (
+        dclean.reshape(n_sweeps, f, f, n_ty, n_tx, ny_t, nx_t, Lp)
+        .transpose(0, 7, 3, 5, 1, 4, 6, 2)   # [K, Lp, n_ty, ny_t, f, ...]
+        .reshape(n_sweeps, Lp, ny * f, nx * f)[:, :L]
     )
     accn_g = jnp.sum(accn, axis=(2, 3, 4))                    # [K, ncol]
     dchia_g = jnp.sum(dchia, axis=(2, 3, 4))
-    return (resid_out, w_k, ls_out), (dclean_g, accn_g, dchia_g)
+    return (resid_out, w_k, ls_out), (dclean_cube, accn_g, dchia_g)
 
 
 # ---------------------------------------------------------------------------
@@ -517,7 +521,7 @@ def _tiled_color_unlayout(arr, ny, nx, f, ny_t, nx_t):
     )
 
 
-def _tiled_quad_layout(quad_lyx, ny, nx, f, ny_t, nx_t, L, Lp):
+def tiled_quad_layout(quad_lyx, ny, nx, f, ny_t, nx_t, L, Lp):
     """[L, Yc, Xc] -> [f²·n_tiles, 1, nij_t·Lp] (block per (color, tile)).
 
     The (color, tile) pair is flattened into the leading (untiled) dim so
@@ -566,9 +570,8 @@ def _prep_carry_impl(problem: sm.Problem, resid, log_scale):
     Wpa_g = global_window_width(p.f, p.nx, nx_t)
     return (
         _cube_to_window_layout(resid.astype(jnp.float32), Wpa_g, Lp),
-        _cube_to_window_layout(
-            p.w_pad.astype(jnp.float32), Wpa_g, Lp
-        ).astype(jnp.bfloat16),
+        # w_pad is stored bf16 for this engine — relayout stays in bf16
+        _cube_to_window_layout(p.w_pad, Wpa_g, Lp).astype(jnp.bfloat16),
         _tiled_color_layout(
             log_scale.astype(jnp.float32), p.ny, p.nx, p.f, *p.config.tile
         ),
@@ -596,6 +599,32 @@ def tiled_run_sweeps(
     """
     p = problem
     cfg = p.config
+    seg_cap = _max_segment(p)
+    if state.clean.nbytes > 2**28 and n_sweeps > seg_cap:
+        # Huge fields: full state round-trips per segment.  Carrying the
+        # window layout across an in-call segment loop keeps enough extra
+        # working sets live on the async backend to OOM a ~7 GiB-standing
+        # full-field run; the per-call pattern is measured bounded (and the
+        # extra relayout costs ~10% of a 0.5 s full-field sweep).
+        parts = []
+        cur = state
+        left = n_sweeps
+        while left > 0:
+            k = min(seg_cap, left)
+            r = tiled_run_sweeps(p, cur, k)
+            jax.block_until_ready(r.state.chi2)
+            cur = r.state
+            parts.append(r)
+            left -= k
+        return sm.ChainResult(
+            state=cur,
+            chi2_trace=jnp.concatenate([r.chi2_trace for r in parts]),
+            accept_trace=jnp.concatenate([r.accept_trace for r in parts]),
+            flux_trace=jnp.concatenate([r.flux_trace for r in parts]),
+            monitor_trace=jnp.concatenate(
+                [r.monitor_trace for r in parts]
+            ),
+        )
     prep = (
         _prep_carry_donated if state.resid.nbytes > 2**28 else _prep_carry
     )
@@ -606,7 +635,6 @@ def tiled_run_sweeps(
     seed = jax.random.randint(
         jax.random.fold_in(state.key, 17), (), 0, np.int32(2**31 - 1)
     ).astype(jnp.int32)
-    seg_cap = _max_segment(p)
     parts = []
     left = n_sweeps
     cur_state = state
@@ -617,10 +645,17 @@ def tiled_run_sweeps(
         carry, raw = _tiled_segment_arrays(
             p, carry, adapt, seed, cur_state.sweep, k
         )
-        r = _assemble_tiled(p, cur_state, k, carry, raw)
+        r = _assemble_tiled(p, cur_state, k, carry, raw, final=(left == k))
         cur_state = r.state
         parts.append(r)
         left -= k
+        if cur_state.clean.nbytes > 2**28:
+            # Serialize segment execution on huge fields: an unbounded
+            # dispatch queue lets the runtime keep several segments'
+            # working sets live at once (the async/tunneled backend defers
+            # execution), which OOMs a ~7 GiB-standing full-field run.
+            # The sync point is a scalar; segments are ~0.5 s.
+            jax.block_until_ready(cur_state.chi2)
     if len(parts) == 1:
         return parts[0]
     return sm.ChainResult(
@@ -632,26 +667,58 @@ def tiled_run_sweeps(
     )
 
 
-def _assemble_tiled(problem, state, n_sweeps, carry, raw):
+def _assemble_tiled_impl(problem, state, resid_k, ls_k, raw, n_sweeps,
+                         final):
     """Adapt tiled raw outputs to the whole-cube kernel's _assemble contract
     (leading chain axis of 1; _assemble slices the window layout's padded
-    x/λ off via [:, :Wp, :L])."""
+    x/λ off via [:, :Wp, :L]).  Jitted: the [None] expansions and squeezes
+    must not materialise eager copies of the GB-scale accumulators.
+
+    ``final=False`` (internal segments of one run_sweeps call) skips the
+    residual-cube reconstruction — the carry stays in window layout and the
+    intermediate state's resid is never consumed, so a full-field segment
+    would otherwise waste a 1.4 GB transpose + standing buffer per sweep.
+    """
     p = problem
-    resid_k, _w_k, ls_k = carry
     ny_t, nx_t, _, _ = _tile_split(p)
     ls_global = _tiled_color_unlayout(ls_k, p.ny, p.nx, p.f, ny_t, nx_t)
-    # the input state's resid may be a donated (deleted) buffer — _assemble
-    # rebuilds the residual from the kernel carry, so hand it a dummy
-    state = dataclasses.replace(
-        state, resid=jnp.zeros((1, 1, 1), p.config.dtype)
-    )
+    key = state.key
     states1 = jax.tree_util.tree_map(lambda x: x[None], state)
     carry1 = (resid_k[None], ls_global[None], None)
     raw1 = tuple(x[None] for x in raw)
-    res = _assemble(p, states1, n_sweeps, carry1, raw1)
+    res = _assemble(p, states1, n_sweeps, carry1, raw1,
+                    skip_resid=not final)
     res = jax.tree_util.tree_map(lambda x: x[0], res)
     # _assemble split the key (whole-cube engine semantics); this engine
     # keeps the key CONSTANT — streams are indexed by absolute sweep.
     return dataclasses.replace(
-        res, state=dataclasses.replace(res.state, key=state.key)
+        res, state=dataclasses.replace(res.state, key=key)
     )
+
+
+_assemble_tiled_small = functools.partial(
+    jax.jit, static_argnames=("n_sweeps", "final")
+)(_assemble_tiled_impl)
+# huge fields: the chain state (clean + accumulators) and the raw dclean
+# stream update in place instead of holding input + output copies
+_assemble_tiled_big = functools.partial(
+    jax.jit, static_argnames=("n_sweeps", "final"), donate_argnums=(1, 4)
+)(_assemble_tiled_impl)
+
+
+def _assemble_tiled(problem, state, n_sweeps, carry, raw, final=True):
+    resid_k, _w_k, ls_k = carry
+    # Normalise the state's resid aval BEFORE the jit call: the input may
+    # be full-shaped (first segment), a (1,1,1) dummy (internal segments),
+    # or a donated dead buffer — one shared shape keeps every segment on
+    # the same two compiled variants (final True/False) instead of
+    # recompiling per transition (remote compiles cost ~minutes).
+    state = dataclasses.replace(
+        state, resid=jnp.zeros((1, 1, 1), problem.config.dtype)
+    )
+    fn = (
+        _assemble_tiled_big if state.clean.nbytes > 2**28
+        else _assemble_tiled_small
+    )
+    return fn(problem, state, resid_k, ls_k, raw, n_sweeps=n_sweeps,
+              final=final)

@@ -90,6 +90,9 @@ class RunConfig:
     # 'gibbs_block' exact whole-spectrum conditionals per spaxel via banded
     #               Cholesky — removes the LSF-induced λ-correlation from
     #               the chain (rebuild-only; VERDICT r1 next #6)
+    # 'direct'      INDEPENDENT exact posterior draws by perturb-and-solve
+    #               PCG (ops/direct.py) — no burn-in, no autocorrelation;
+    #               one "sweep" = one full-ESS sample (rebuild-only)
     sampler: str = "mh"
     initial: str = "zeros"                 # 'zeros' | 'data'
     fsf_size: Optional[int] = None
@@ -123,6 +126,12 @@ class RunConfig:
     lambda_chunk: Optional[int] = None
     fsf_tol: float = 1e-5                  # low-rank FSF tolerance (pallas)
     fsf_max_rank: int = 8
+    # sampler='direct' knobs: PCG stopping tolerance (relative residual),
+    # iteration cap, and preconditioner ('banded' Fourier-space λ-banded
+    # Cholesky — tabulates [Y·(X//2+1), L, lw]; 'jacobi' for huge fields).
+    direct_tol: float = 1e-6
+    direct_maxiter: int = 300
+    direct_precond: str = "banded"
 
     def resolved_burn_in(self) -> int:
         return self.max_iterations // 2 if self.burn_in is None else self.burn_in
@@ -178,6 +187,11 @@ class Problem:
     # low-rank FSF factors (pallas engine): fsf ≈ Σ_s spec[s,λ]·imgs[s,·,·]
     fsf_spec: Optional[jax.Array] = None    # [S, L]
     fsf_imgs: Optional[jax.Array] = None    # [S, f, f]
+    # pallas_tiled engine: quad pre-relayouted per (color, tile) block; the
+    # [L, Yc, Xc] quad is then dropped (None) — a full-field quad is 1.4 GB
+    # and HBM is the binding constraint (init_state keeps quad_mean).
+    quad_tiled: Optional[jax.Array] = None  # [f²·n_tiles, 1, nij_t·Lp]
+    quad_mean: Optional[jax.Array] = None   # [Yc, Xc] λ-mean of quad
     # per-voxel conditional precision (gibbs sampler): Σ_μ M²[μ,λ]·quad[μ,y,x]
     qvox: Optional[jax.Array] = None        # [L, Yc, Xc]
     # per-spaxel banded Cholesky of A = Mᵀ diag(quad) M (gibbs_block):
@@ -306,6 +320,15 @@ def make_problem(
             "coarse_every adds one shared jump per block, which cannot "
             "respect per-voxel positivity — disable one of the two."
         )
+    if config.sampler == "direct" and config.positivity:
+        raise ValueError(
+            "sampler='direct' draws from the exact joint Gaussian; the "
+            "positivity-truncated joint has no closed form — use "
+            "sampler='gibbs' (exact truncated-normal voxel draws)."
+        )
+    if config.sampler == "direct":
+        # pure XLA conv/FFT path — the fused kernels have no role here
+        config = dataclasses.replace(config, engine="jnp")
     engine = config.engine
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -487,17 +510,40 @@ def make_problem(
         bands = banded.precision_bands(jnp.asarray(lsf_np, dtype=dtype), qs)
         chol = banded.cholesky_banded(bands)               # [Yc, Xc, L, lw]
 
+    quad = quad.astype(dtype)
+    quad_tiled = quad_mean = None
+    if engine == "pallas_tiled":
+        # w already carries bf16-rounded VALUES (kernel-engine invariant
+        # above); store it in bf16 outright — a full-field w_pad is 1.4 GiB
+        # in f32 and HBM is the binding constraint.  Consumers multiply it
+        # into f32 expressions, which auto-promotes losslessly.
+        w_pad = w_pad.astype(jnp.bfloat16)
+        # pre-relayout quad for the tiled kernel and DROP the cube-layout
+        # copy: a full-field quad is ~1.4 GB and would otherwise be held
+        # (plus a second transient copy per kernel segment) for nothing —
+        # only init_state's jump-scale heuristic needs it, via the λ-mean.
+        from .ops.pallas_tiled import _pad_lanes_of, tiled_quad_layout
+
+        ny_t, nx_t = config.tile
+        quad_tiled = tiled_quad_layout(
+            quad, ny, nx, f, ny_t, nx_t, L, _pad_lanes_of(L)
+        )
+        quad_mean = jnp.mean(quad, axis=0)
+        quad = None
+
     return Problem(
         L=L, Y=Y, X=X, f=f, ny=ny, nx=nx,
         fsf=jnp.asarray(fsf_np, dtype=dtype),
         lsf=jnp.asarray(lsf_np, dtype=dtype),
         data_pad=data_pad,
         w_pad=w_pad,
-        quad=quad.astype(dtype),
+        quad=quad,
         valid=jnp.asarray(valid),
         monitor_idx=jnp.asarray(monitor),
         fsf_spec=fsf_spec,
         fsf_imgs=fsf_imgs,
+        quad_tiled=quad_tiled,
+        quad_mean=quad_mean,
         qvox=qvox,
         chol=chol,
         config=config,
@@ -534,10 +580,18 @@ def init_state(problem: Problem, cube: Optional[Cube] = None) -> SamplerState:
     if cfg.jump_scale is not None:
         log_scale = jnp.full((p.Yc, p.Xc), np.log(cfg.jump_scale), dtype=dtype)
     else:
-        # Random-walk MH over an ~L-dimensional spectrum: optimal step is
-        # ≈ 2.4/√L × conditional σ, with σ(voxel) ≈ 1/√quad.
-        sigma = 1.0 / jnp.sqrt(jnp.maximum(p.quad.mean(axis=0), 1e-20))
-        log_scale = jnp.log(2.4 / np.sqrt(p.L) * sigma).astype(dtype)
+        # Random-walk MH over an ~L-dimensional spectrum with CAUCHY draws:
+        # the Gaussian-proposal optimum 2.4/√L·σ overshoots badly at large
+        # L (the Δchi² of a heavy-tailed joint jump is dominated by the
+        # largest of L draws).  Measured adapted scales (acceptance pinned
+        # at 0.234) follow ≈ 3.0·σ·L^(-5/6) over L = 64…600; starting
+        # there keeps early acceptance alive on full-field L ≈ 3700, where
+        # the √L rule gave ~0 accepts for the first ~100 sweeps.
+        qmean = p.quad_mean if p.quad is None else p.quad.mean(axis=0)
+        sigma = 1.0 / jnp.sqrt(jnp.maximum(qmean, 1e-20))
+        log_scale = jnp.log(3.0 * float(p.L) ** (-5.0 / 6.0) * sigma).astype(
+            dtype
+        )
     log_scale = jnp.where(p.valid, log_scale, 0.0)
 
     # sum_clean and sum_sq must be DISTINCT buffers: donated runs
@@ -1055,6 +1109,13 @@ def _jnp_run_sweeps_impl(
     problem: Problem, state: SamplerState, n_sweeps: int
 ) -> ChainResult:
     cfg = problem.config
+    if cfg.sampler == "direct":
+        # independent exact posterior draws (ops/direct.py) — slots into
+        # the same jit/vmap/donation wrappers as the MCMC scan, so the Run
+        # facade, chains layer and checkpointing all work unchanged
+        from .ops.direct import direct_run_sweeps
+
+        return direct_run_sweeps(problem, state, n_sweeps)
     sweep = _make_sweep(problem)
     idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
     burn = cfg.resolved_burn_in()

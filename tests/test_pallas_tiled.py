@@ -70,7 +70,7 @@ class TestLayouts:
             rng.standard_normal((L, ny * f, nx * f)).astype(np.float32)
         )
         qt = np.asarray(
-            pt._tiled_quad_layout(quad, ny, nx, f, ny_t, nx_t, L, Lp)
+            pt.tiled_quad_layout(quad, ny, nx, f, ny_t, nx_t, L, Lp)
         )
         quad = np.asarray(quad)
         for _ in range(50):
@@ -91,7 +91,7 @@ class TestLayouts:
         d = jnp.asarray(
             rng.standard_normal((L, ny * f, nx * f)).astype(np.float32)
         )
-        qt = pt._tiled_quad_layout(d, ny, nx, f, ny_t, nx_t, L, Lp)
+        qt = pt.tiled_quad_layout(d, ny, nx, f, ny_t, nx_t, L, Lp)
         dk = qt.reshape(f * f, n_ty * n_tx, ny_t * nx_t, Lp)[None]
         K, ncol = 1, f * f
         dg = (
