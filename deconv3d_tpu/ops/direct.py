@@ -1,0 +1,319 @@
+"""Direct (exact) Gaussian posterior sampling — sampler='direct'.
+
+The model is linear-Gaussian:  d = K c + ε,  ε ~ N(0, diag(1/w)),  flat
+prior on the free voxels — so the posterior is EXACTLY
+N(A⁻¹ Kᵀ W d, A⁻¹) with A = Kᵀ W K.  MCMC (the reference's approach and
+our kernel engines) random-walks through A's anisotropy (condition numbers
+up to ~1e11 under blur); this module instead draws INDEPENDENT samples by
+perturb-and-solve (Papandreou & Yuille 2010 / Hoffman–Ribak):
+
+    b  = Kᵀ W d  +  Kᵀ (√w · z),      z ~ N(0, I)
+    c  = A⁻¹ b                ⇒       c ~ N(μ, A⁻¹)  exactly,
+
+with the solve done by preconditioned conjugate gradients.  Every operator
+application is separable convolution (the same `convolve` primitives as the
+forward model — batched FFTs / depthwise convs, exactly what the TPU is
+good at), so one draw costs tens of conv pairs and carries a FULL unit of
+effective sample size; there is no burn-in, no autocorrelation, no
+acceptance tuning.
+
+Preconditioner: in spatial Fourier space (periodic, mean-weight
+approximation) A block-diagonalises over spatial frequency k into λ-banded
+SPD matrices  Λ_k = w̄ · Mᵀ diag(|F̂_k(λ)|²) M  — precisely the banded
+Cholesky machinery of ops/banded.py, factorised once per run and applied
+per CG iteration as rfft2 → per-k banded solve → irfft2.  Masks and the
+zero-padded (non-periodic) boundary make the true A differ from Λ, which
+costs CG iterations, not correctness — the solve is run to a relative
+residual tolerance (``direct_tol``).
+
+Scope: the preconditioner tabulates [Y·(X//2+1), L, lw] Cholesky bands —
+fine through cut-out scale (hundreds of MB); for full MUSE fields use the
+Jacobi fallback (``direct_precond='jacobi'``) or the MCMC engines.
+Positivity is rejected (the truncated joint Gaussian has no closed form).
+
+Reference parity note: the reference has no counterpart — this is a
+rebuild-only capability (SURVEY.md §2 'rebuild-only additions').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import convolve as cv
+from . import banded
+
+
+# ---------------------------------------------------------------------------
+# Forward operator and its adjoint
+# ---------------------------------------------------------------------------
+
+def apply_K(problem, c):
+    """K c: the package-canonical forward model on [L, Y, X]."""
+    return cv.convolve_cube(c, problem.fsf, problem.lsf)
+
+
+def _spatial(r, bank):
+    """Per-λ 'same' spatial convolution (backend-matched path)."""
+    fn = (
+        cv.apply_fsf_direct if jax.default_backend() == "tpu"
+        else cv.apply_fsf
+    )
+    return fn(r, bank)
+
+
+def apply_KT(problem, r):
+    """Kᵀ r for K = S∘M (spectral LSF, then per-λ spatial FSF).
+
+    Kᵀ = Mᵀ ∘ Sᵀ: the spatial adjoint is 'same' convolution with the
+    spatially flipped FSF (exact for the zero-padded 'same' semantics and
+    odd kernels), and Mᵀ is the transposed LSF band.
+    """
+    from .. import sampler as sm
+
+    s_adj = _spatial(r, problem.fsf[:, ::-1, ::-1])
+    return jnp.moveaxis(
+        sm._lsf_apply_T_lastaxis(jnp.moveaxis(s_adj, 0, -1), problem.lsf),
+        -1, 0,
+    )
+
+
+def _free_mask(problem):
+    """[1, Y, X] mask of sampled (valid-spaxel) voxels."""
+    p = problem
+    return p.valid[: p.Y, : p.X].astype(p.config.dtype)[None]
+
+
+def _w_in(problem):
+    p = problem
+    h = p.f // 2
+    return p.w_pad[:, h : h + p.Y, h : h + p.X]
+
+
+def make_normal_operator(problem):
+    """A(c) = P Kᵀ W K P c on the free subspace."""
+    w = _w_in(problem)
+    free = _free_mask(problem)
+
+    def A(c):
+        kc = apply_K(problem, c * free)
+        return apply_KT(problem, kc * w) * free
+
+    return A
+
+
+# ---------------------------------------------------------------------------
+# Fourier-banded preconditioner
+# ---------------------------------------------------------------------------
+
+def make_preconditioner(problem, mode: str | None = None):
+    """M⁻¹ ≈ A⁻¹: per-spatial-frequency banded solves (or Jacobi).
+
+    'banded': Λ_k = w̄·Mᵀ diag(|F̂_k|²) M per rfft2 frequency of the (Y, X)
+    grid, banded-Cholesky factorised once.  'jacobi': diag(A) ≈ per-voxel
+    qvox-style diagonal.  Returns a callable r -> M⁻¹ r.
+    """
+    p = problem
+    if mode is None:
+        mode = p.config.direct_precond
+    w = _w_in(p)
+    free = _free_mask(p)
+    if mode == "jacobi":
+        # diag(A)[λ0,y,x] = Σ_μ M[μ,λ0]² (Σ_ab F[μ,a,b]² w[μ, y~, x~])
+        # ≈ qvox; the cheap fallback for very large fields.
+        quad_like = _spatial(w, p.fsf[:, ::-1, ::-1] ** 2)
+        diag = jnp.moveaxis(
+            banded.precision_bands(
+                p.lsf, jnp.moveaxis(quad_like, 0, -1)
+            )[..., 0],
+            -1, 0,
+        )
+        inv = jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
+
+        def Minv(r):
+            return r * inv * free
+
+        return Minv
+    if mode != "banded":
+        raise ValueError(f"unknown direct_precond {mode!r}")
+
+    Y, X = p.Y, p.X
+    dtype = p.config.dtype
+    wbar = jnp.sum(w) / jnp.maximum(jnp.sum(w > 0), 1.0)
+    fhat = jnp.fft.rfft2(p.fsf.astype(dtype), s=(Y, X))        # [L, Y, Xr]
+    power = (jnp.abs(fhat) ** 2).astype(dtype) * wbar
+    q = jnp.moveaxis(power, 0, -1)                   # [Y, Xr, L]
+    bands = banded.precision_bands(p.lsf, q)         # [Y, Xr, L, lw]
+    # ridge: keeps near-null frequencies factorisable; scaled to the
+    # problem's stiffest diagonal so it never dominates a live mode
+    ridge = 1e-8 * jnp.max(bands[..., 0])
+    bands = bands.at[..., 0].add(ridge)
+    R = banded.cholesky_banded(bands)                # [Y, Xr, L, lw]
+
+    def solve_k(rhs):                                # [Y, Xr, L] real
+        z = banded.solve_transposed_banded(R, rhs)
+        return banded.solve_banded(R, z)
+
+    def Minv(r):                                     # r [L, Y, X]
+        rf = jnp.fft.rfft2(r.astype(dtype))          # [L, Y, Xr] complex
+        rf = jnp.moveaxis(rf, 0, -1)                 # [Y, Xr, L]
+        out = solve_k(jnp.real(rf)) + 1j * solve_k(jnp.imag(rf))
+        out = jnp.fft.irfft2(jnp.moveaxis(out, -1, 0), s=(Y, X))
+        return out.astype(r.dtype) * free
+
+    return Minv
+
+
+# ---------------------------------------------------------------------------
+# PCG (vmap-safe: masked updates after convergence)
+# ---------------------------------------------------------------------------
+
+class PCGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array
+    rel_residual: jax.Array
+
+
+def pcg(A, Minv, b, tol: float, maxiter: int) -> PCGResult:
+    """Preconditioned CG for SPD A; runs under jit/vmap (masked updates)."""
+    dtype = b.dtype
+    bnorm = jnp.sqrt(jnp.sum(b * b, dtype=jnp.float64 if dtype == jnp.float64
+                             else jnp.float32))
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = Minv(r0)
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(s):
+        x, r, z, pvec, rz, it = s
+        rnorm = jnp.sqrt(jnp.sum(r * r))
+        return (it < maxiter) & (rnorm > tol * jnp.maximum(bnorm, 1e-30))
+
+    def body(s):
+        x, r, z, pvec, rz, it = s
+        done = jnp.sqrt(jnp.sum(r * r)) <= tol * jnp.maximum(bnorm, 1e-30)
+        Ap = A(pvec)
+        denom = jnp.sum(pvec * Ap)
+        alpha = jnp.where(done | (denom <= 0), 0.0, rz / jnp.maximum(denom, 1e-30))
+        x = x + alpha * pvec
+        r = r - alpha * Ap
+        z = Minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(done | (rz <= 0), 0.0, rz_new / jnp.maximum(rz, 1e-30))
+        pvec = z + beta * pvec
+        return (x, r, z, pvec, jnp.where(done, rz, rz_new),
+                it + jnp.where(done, 0, 1))
+
+    x, r, _, _, _, it = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    )
+    rel = jnp.sqrt(jnp.sum(r * r)) / jnp.maximum(bnorm, 1e-30)
+    return PCGResult(x=x, iterations=it, rel_residual=rel)
+
+
+# ---------------------------------------------------------------------------
+# Posterior draws + the run_sweeps contract
+# ---------------------------------------------------------------------------
+
+def posterior_mean(problem, tol=None, maxiter=None) -> PCGResult:
+    """μ = A⁻¹ Kᵀ W d (the MAP == posterior mean of the Gaussian)."""
+    p = problem
+    cfg = p.config
+    h = p.f // 2
+    d = p.data_pad[:, h : h + p.Y, h : h + p.X]
+    b = apply_KT(p, d * _w_in(p)) * _free_mask(p)
+    return pcg(
+        make_normal_operator(p), make_preconditioner(p), b,
+        cfg.direct_tol if tol is None else tol,
+        cfg.direct_maxiter if maxiter is None else maxiter,
+    )
+
+
+def _one_draw(problem, key, A, Minv):
+    p = problem
+    cfg = p.config
+    h = p.f // 2
+    w = _w_in(p)
+    d = p.data_pad[:, h : h + p.Y, h : h + p.X]
+    z = jax.random.normal(key, d.shape, dtype=cfg.dtype)
+    b = apply_KT(p, d * w + jnp.sqrt(w) * z) * _free_mask(p)
+    return pcg(A, Minv, b, cfg.direct_tol, cfg.direct_maxiter)
+
+
+def direct_run_sweeps(problem, state, n_sweeps: int):
+    """run_sweeps drop-in for sampler='direct' (ChainResult contract).
+
+    One "sweep" = one INDEPENDENT posterior draw.  The state threads
+    exactly like the MCMC engines (clean = last draw, resid = data − K c
+    recomputed from scratch — no incremental drift by construction, so
+    the invariant and chi² consistency hold to solver tolerance), which
+    keeps checkpoints, segmenting, the Run facade and the chains layer
+    working unchanged.
+    """
+    from .. import sampler as sm
+
+    p = problem
+    cfg = p.config
+    h = p.f // 2
+    A = make_normal_operator(p)
+    Minv = make_preconditioner(p)
+    validf = p.valid.astype(cfg.dtype)
+
+    idx = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
+    burn = cfg.resolved_burn_in()
+    keep = jnp.where(
+        (idx >= burn) & ((idx - burn) % cfg.keep_one_in == 0), 1.0, 0.0
+    ).astype(jnp.float32)
+    n_free = (jnp.sum(_free_mask(p)) * p.L).astype(jnp.float32)
+
+    def step(st, xs):
+        keep_t, = xs
+        key, sub = jax.random.split(st.key)
+        res = _one_draw(p, sub, A, Minv)
+        c = res.x
+        clean = jnp.zeros((p.L, p.Yc, p.Xc), cfg.dtype).at[
+            :, : p.Y, : p.X
+        ].set(c)
+        conv = apply_K(p, c)
+        resid = p.data_pad.at[:, h : h + p.Y, h : h + p.X].add(-conv)
+        resid = jnp.where(p.w_pad > 0, resid, 0.0)
+        chi2 = jnp.sum(resid * resid * p.w_pad, dtype=jnp.float32)
+        kc = keep_t.astype(cfg.dtype)
+        new = sm.SamplerState(
+            clean=clean,
+            resid=resid,
+            key=key,
+            chi2=chi2,
+            chi2_comp=jnp.zeros((), jnp.float32),
+            log_scale=st.log_scale,
+            n_accept=st.n_accept + n_free,
+            n_propose=st.n_propose + n_free,
+            sum_clean=st.sum_clean + kc * clean,
+            sum_sq=(
+                st.sum_sq + kc * clean * clean
+                if cfg.track_variance else st.sum_sq
+            ),
+            n_kept=st.n_kept + keep_t,
+            sweep=st.sweep + 1,
+        )
+        trace = (
+            chi2,
+            # "acceptance": solver convergence flag (1 = converged)
+            (res.rel_residual <= cfg.direct_tol).astype(jnp.float32),
+            jnp.sum(clean * validf[None], dtype=jnp.float32),
+            clean.reshape(-1)[p.monitor_idx],
+        )
+        return new, trace
+
+    state, (chi2_t, acc_t, flux_t, mon_t) = jax.lax.scan(
+        step, state, (keep,)
+    )
+    return sm.ChainResult(
+        state=state, chi2_trace=chi2_t, accept_trace=acc_t,
+        flux_trace=flux_t, monitor_trace=mon_t,
+    )
