@@ -23,9 +23,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chains", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
-        "--sampler", choices=["mh", "gibbs", "gibbs_block"], default="mh"
+        "--sampler", choices=["mh", "gibbs", "gibbs_block", "direct"],
+        default="mh"
     )
-    p.add_argument("--engine", choices=["auto", "jnp", "pallas"],
+    p.add_argument("--engine",
+                   choices=["auto", "jnp", "pallas", "pallas_tiled"],
                    default="auto")
     p.add_argument("--positivity", action="store_true")
     p.add_argument("--fsf", choices=["moffat", "gaussian"], default="moffat")

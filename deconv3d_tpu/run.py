@@ -67,6 +67,11 @@ class Run:
         engine: str = "auto",
         fsf_tol: float = 1e-5,
         track_variance: bool = True,
+        coarse_every: Optional[int] = None,
+        coarse_mode: str = "mixed",
+        direct_tol: float = 1e-6,
+        direct_maxiter: int = 300,
+        direct_precond: str = "banded",
     ):
         if isinstance(cube, str):
             cube = (
@@ -121,6 +126,11 @@ class Run:
             engine=engine,
             fsf_tol=fsf_tol,
             track_variance=track_variance,
+            coarse_every=coarse_every,
+            coarse_mode=coarse_mode,
+            direct_tol=direct_tol,
+            direct_maxiter=direct_maxiter,
+            direct_precond=direct_precond,
         )
         self.problem = sm.make_problem(cube, self.instrument, self.config)
         self.states = ch.init_chain_states(self.problem, self.n_chains)

@@ -217,3 +217,42 @@ def test_positivity_rejects_coarse(rng):
             sm.RunConfig(coarse_every=2, positivity=True, fsf_size=5,
                          lsf_width=5),
         )
+
+
+def test_run_chains_applies_coarse_passes(rng):
+    """The chains layer (the Run facade's path) must interleave the passes
+    too — proposal counts exceed the fine-only total, and the invariant
+    holds per chain."""
+    cube, inst, _ = _make_toy(rng, L=16, Y=10, X=10, noise=0.2)
+    cfg = sm.RunConfig(max_iterations=8, burn_in=2, seed=3,
+                       dtype=np.float64, fsf_size=5, lsf_width=5,
+                       coarse_every=2)
+    p = sm.make_problem(cube, inst, cfg)
+    mc = ch.run_chains(p, 2, n_sweeps=8)
+    st = mc.result.state
+    fine_props = 8 * p.n_valid
+    assert float(st.n_propose[0]) > fine_props
+    h = p.f // 2
+    for i in range(2):
+        conv = cv.convolve_cube(st.clean[i][:, : p.Y, : p.X], p.fsf, p.lsf)
+        model = (
+            p.data_pad[:, h : h + p.Y, h : h + p.X]
+            - st.resid[i][:, h : h + p.Y, h : h + p.X]
+        )
+        w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X])
+        np.testing.assert_allclose(
+            np.asarray(model)[w > 0], np.asarray(conv)[w > 0], atol=1e-9
+        )
+    # chains stay distinct through the batched passes
+    assert not np.array_equal(np.asarray(st.clean[0]), np.asarray(st.clean[1]))
+
+
+def test_run_facade_exposes_coarse(rng):
+    from deconv3d_tpu import Run
+
+    cube, inst, _ = _make_toy(rng, noise=0.2)
+    run = Run(cube, inst, max_iterations=6, burn_in=2, fsf_size=5,
+              lsf_width=5, dtype=np.float64, coarse_every=2)
+    assert run.problem.config.coarse_every == 2
+    run.run()
+    assert run.sweeps_done == 6
