@@ -145,6 +145,53 @@ def statistical_case(engine="pallas", tile=None):
     )
 
 
+def tiled_masked_case():
+    """Masked spaxels through the tiled kernel: frozen at zero, invariant
+    holds, and the masked region contributes nothing to chi²."""
+    rng = np.random.default_rng(9)
+    L, Y, X = 64, 20, 20
+    var = 0.04
+    truth = np.zeros((L, Y, X), np.float32)
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.5), lsf=ins.GaussianLSF(fwhm=2.0)
+    )
+    data = truth + np.sqrt(var) * rng.standard_normal((L, Y, X)).astype(
+        np.float32
+    )
+    mask = np.zeros((Y, X), bool)
+    mask[0:6, 0:6] = True                          # corner block masked
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, var), mask=mask,
+        crval=4750.0, cdelt=1.25,
+    )
+    cfg = sm.RunConfig(
+        max_iterations=80, burn_in=20, seed=2, fsf_size=5, lsf_width=5,
+        engine="pallas_tiled", tile=(2, 2),
+    )
+    p = sm.make_problem(cube, inst, cfg)
+    res = sm.run_sweeps(p, sm.init_state(p), 80)
+    st = res.state
+    frozen = np.asarray(st.clean[:, 0:6, 0:6])
+    ok = check(
+        "tiled masked spaxels frozen", float(np.abs(frozen).max()) == 0.0
+    )
+    h = p.f // 2
+    conv = cv.convolve_cube(st.clean[:, : p.Y, : p.X], p.fsf, p.lsf)
+    model = (
+        p.data_pad[:, h : h + p.Y, h : h + p.X]
+        - st.resid[:, h : h + p.Y, h : h + p.X]
+    )
+    w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X])
+    scale = float(np.abs(np.asarray(conv)).max()) or 1.0
+    err = np.abs(np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]).max()
+    ok &= check(
+        "  masked invariant", err / scale < 3e-5, f"err={err:.2e}"
+    )
+    ok &= check("  nonvacuous", float(st.n_accept) > 80)
+    return ok
+
+
 def tiled_segmentation_case():
     """HBM-tiled kernel: segmented == monolithic, bit-exact (resume path)."""
     rng = np.random.default_rng(5)
@@ -279,6 +326,7 @@ def main():
         engine="pallas_tiled", tile=(1, 1),
     )
     ok &= tiled_segmentation_case()
+    ok &= tiled_masked_case()
     ok &= statistical_case(engine="pallas_tiled", tile=(1, 2))
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1

@@ -31,6 +31,17 @@ fine through cut-out scale (hundreds of MB); for full MUSE fields use the
 Jacobi fallback (``direct_precond='jacobi'``) or the MCMC engines.
 Positivity is rejected (the truncated joint Gaussian has no closed form).
 
+When to use which sampler (measured on the v5e chip): on well-conditioned
+problems the adapted MH/gibbs kernels win raw ESS/s on easy functionals
+(MUSE 30×30×600 flux: MH ≈ 2 ESS/s vs direct ≈ 0.5 at ~1 draw/s) — the
+direct sampler's value is EXACTNESS and hard regimes: heavy blur or
+per-voxel posteriors, where single-site chains under-explore the blur-null
+directions and quietly report too-tight posteriors.  On small fields whose
+FSF footprint rivals the field size, the periodic-Fourier preconditioner
+degrades and draws may hit ``direct_maxiter`` — the per-draw convergence
+flag rides the accept trace, so an unconverged run is visible, and
+raising ``direct_maxiter`` (or loosening ``direct_tol``) is the fix.
+
 Reference parity note: the reference has no counterpart — this is a
 rebuild-only capability (SURVEY.md §2 'rebuild-only additions').
 """
