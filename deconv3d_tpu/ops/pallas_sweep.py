@@ -713,14 +713,26 @@ def _run_group(
 ) -> sm.ChainResult:
     seg_cap = max(8, _MAX_SEGMENT // cb)
     if n_sweeps > seg_cap:
-        parts = []
+        # Remainders decompose into powers of two: every distinct segment
+        # length is a fresh Mosaic kernel compile (~10-20 s via the remote
+        # compile server), so cap the universe of lengths at
+        # {seg_cap, 2^k} instead of letting arbitrary remainders through.
+        sizes = []
         left = n_sweeps
+        while left >= seg_cap:
+            sizes.append(seg_cap)
+            left -= seg_cap
+        b = 1
         while left > 0:
-            k = min(seg_cap, left)
+            if left & b:
+                sizes.append(b)
+                left -= b
+            b <<= 1
+        parts = []
+        for k in sizes:
             r = _pallas_segment(problem, states, k)
             states = r.state
             parts.append(r)
-            left -= k
         return sm.ChainResult(
             state=states,
             chi2_trace=jnp.concatenate([r.chi2_trace for r in parts], axis=1),
