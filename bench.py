@@ -43,7 +43,10 @@ def main() -> None:
     res = sm.run_sweeps(problem, state, 50)
     jax.block_until_ready(res.state.clean)
 
-    n_bench = 200
+    # 1024 sweeps = 8 × the 128-sweep segment shape: one compiled kernel,
+    # and a window long enough that per-call host overhead stops dominating
+    # (200-sweep windows under-reported ~740 vs ~1030 sweeps/s).
+    n_bench = 1024
     res = sm.run_sweeps(problem, res.state, n_bench)  # compile this length
     jax.block_until_ready(res.state.clean)
     t0 = time.perf_counter()
