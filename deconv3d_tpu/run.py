@@ -70,7 +70,7 @@ class Run:
         coarse_every: Optional[int] = None,
         coarse_mode: str = "mixed",
         direct_tol: float = 1e-6,
-        direct_maxiter: int = 300,
+        direct_maxiter: int = 500,
         direct_precond: str = "banded",
     ):
         if isinstance(cube, str):

@@ -130,7 +130,10 @@ class RunConfig:
     # iteration cap, and preconditioner ('banded' Fourier-space λ-banded
     # Cholesky — tabulates [Y·(X//2+1), L, lw]; 'jacobi' for huge fields).
     direct_tol: float = 1e-6
-    direct_maxiter: int = 300
+    # 500 covers MUSE-subcube-grade conditioning (draws measured ~300-400
+    # iterations when the FSF footprint rivals the field); the per-draw
+    # convergence flag rides the accept trace either way.
+    direct_maxiter: int = 500
     direct_precond: str = "banded"
 
     def resolved_burn_in(self) -> int:
