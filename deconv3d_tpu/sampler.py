@@ -137,7 +137,13 @@ class RunConfig:
     direct_precond: str = "banded"
 
     def resolved_burn_in(self) -> int:
-        return self.max_iterations // 2 if self.burn_in is None else self.burn_in
+        if self.burn_in is not None:
+            return self.burn_in
+        if self.sampler == "direct":
+            # direct draws are iid — burn-in would silently discard half of
+            # the expensive exact samples for nothing (ADVICE r2).
+            return 0
+        return self.max_iterations // 2
 
 
 def adapt_schedule(ids: jax.Array, cfg: RunConfig) -> jax.Array:
@@ -195,6 +201,9 @@ class Problem:
     # and HBM is the binding constraint (init_state keeps quad_mean).
     quad_tiled: Optional[jax.Array] = None  # [f²·n_tiles, 1, nij_t·Lp]
     quad_mean: Optional[jax.Array] = None   # [Yc, Xc] λ-mean of quad
+    # pallas_tiled gibbs: qvox in the same per-(color, tile) layout; the
+    # cube-layout qvox is then dropped for the same HBM reason as quad
+    qvox_tiled: Optional[jax.Array] = None  # [f²·n_tiles, 1, nij_t·Lp]
     # per-voxel conditional precision (gibbs sampler): Σ_μ M²[μ,λ]·quad[μ,y,x]
     qvox: Optional[jax.Array] = None        # [L, Yc, Xc]
     # per-spaxel banded Cholesky of A = Mᵀ diag(quad) M (gibbs_block):
@@ -370,11 +379,12 @@ def make_problem(
                 )
             import logging
 
-            if config.sampler == "mh":
+            if config.sampler in ("mh", "gibbs"):
                 from .ops.pallas_tiled import plan_tiles
 
                 tile = plan_tiles(
-                    _f, _ny, _nx, L, lsf_np.shape[-1], config.fsf_max_rank
+                    _f, _ny, _nx, L, lsf_np.shape[-1], config.fsf_max_rank,
+                    gibbs=(config.sampler == "gibbs"),
                 )
             else:
                 tile = None
@@ -392,17 +402,19 @@ def make_problem(
     if engine == "pallas_tiled":
         from .ops.pallas_tiled import plan_tiles
 
-        if config.sampler != "mh":
+        if config.sampler not in ("mh", "gibbs"):
+            # positivity / gibbs_block / direct were already routed to jnp
+            # above; this only fires on an explicit engine request.
             raise ValueError(
-                "engine='pallas_tiled' supports sampler='mh' only; the "
-                "exact-Gibbs λ-phase loop is compile-size hostile at "
-                "full-field λ — use engine='jnp' for gibbs on large fields."
+                "engine='pallas_tiled' supports sampler='mh' and 'gibbs'; "
+                f"use engine='jnp' for sampler={config.sampler!r}."
             )
         _f = fsf_np.shape[-1]
         _ny, _nx = -(-Y // _f), -(-X // _f)
         if tile is None:
             tile = plan_tiles(
-                _f, _ny, _nx, L, lsf_np.shape[-1], config.fsf_max_rank
+                _f, _ny, _nx, L, lsf_np.shape[-1], config.fsf_max_rank,
+                gibbs=(config.sampler == "gibbs"),
             )
         if tile is None:
             raise ValueError(
@@ -514,7 +526,13 @@ def make_problem(
         chol = banded.cholesky_banded(bands)               # [Yc, Xc, L, lw]
 
     quad = quad.astype(dtype)
-    quad_tiled = quad_mean = None
+    quad_tiled = quad_mean = qvox_tiled = None
+    if config.sampler == "direct":
+        # the direct sampler never reads quad; keep only the λ-mean that
+        # init_state's jump-scale heuristic uses — a full-field quad is
+        # 1.4 GB and the CG state needs the HBM headroom
+        quad_mean = jnp.mean(quad, axis=0)
+        quad = None
     if engine == "pallas_tiled":
         # w already carries bf16-rounded VALUES (kernel-engine invariant
         # above); store it in bf16 outright — a full-field w_pad is 1.4 GiB
@@ -533,6 +551,14 @@ def make_problem(
         )
         quad_mean = jnp.mean(quad, axis=0)
         quad = None
+        if qvox is not None:
+            # gibbs on the tiled engine: same per-(color, tile) relayout;
+            # the cube-layout copy is dropped for the same HBM reason.
+            qvox_tiled = tiled_quad_layout(
+                qvox.astype(dtype), ny, nx, f, ny_t, nx_t, L,
+                _pad_lanes_of(L),
+            )
+            qvox = None
 
     return Problem(
         L=L, Y=Y, X=X, f=f, ny=ny, nx=nx,
@@ -547,6 +573,7 @@ def make_problem(
         fsf_imgs=fsf_imgs,
         quad_tiled=quad_tiled,
         quad_mean=quad_mean,
+        qvox_tiled=qvox_tiled,
         qvox=qvox,
         chol=chol,
         config=config,

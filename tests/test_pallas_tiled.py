@@ -37,6 +37,17 @@ class TestPlanner:
     def test_no_plan_under_tiny_budget(self):
         assert pt.plan_tiles(17, 18, 18, 3681, 15, budget=1024) is None
 
+    def test_full_muse_field_has_a_gibbs_plan(self):
+        plan = pt.plan_tiles(17, 18, 18, 3681, 15, S=4, gibbs=True)
+        assert plan is not None
+        ny_t, nx_t = plan
+        n_tiles = (18 // ny_t) * (18 // nx_t)
+        assert (
+            pt.tiled_vmem_bytes(17, ny_t, nx_t, 3681, 15, 4, n_tiles,
+                                gibbs=True)
+            <= ps.VMEM_BUDGET_BYTES
+        )
+
     def test_window_alignment(self):
         # every tile geometry must produce 16-multiple window widths (bf16
         # DMA tiles) and cover the widest rolled read.
@@ -147,7 +158,10 @@ class TestEngineResolution:
         )
         assert p2.config.engine == "jnp"
 
-    def test_gibbs_never_selects_tiled(self, rng, monkeypatch):
+    def test_gibbs_steps_down_to_tiled(self, rng, monkeypatch):
+        """Exact-Gibbs rides the tiled kernel too (VERDICT r2 next #1):
+        auto-resolution steps down to pallas_tiled with qvox in the tiled
+        layout and the cube-layout qvox dropped (HBM)."""
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         monkeypatch.setattr(ps, "VMEM_BUDGET_BYTES", 6 * 2**20)
         cube, inst = _cube_and_inst(rng)
@@ -156,13 +170,33 @@ class TestEngineResolution:
             sm.RunConfig(engine="auto", sampler="gibbs", fsf_size=9,
                          lsf_width=7),
         )
+        assert p.config.engine == "pallas_tiled"
+        assert p.qvox_tiled is not None
+        assert p.qvox is None and p.quad is None
+        assert p.qvox_tiled.shape == p.quad_tiled.shape
+
+    def test_tiled_rejects_unsupported_samplers(self, rng, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cube, inst = _cube_and_inst(rng)
+        # gibbs_block is routed to jnp before the engine check (silent
+        # step-down, same as the whole-cube kernel)
+        p = sm.make_problem(
+            cube, inst,
+            sm.RunConfig(engine="pallas_tiled", sampler="gibbs_block",
+                         fsf_size=9, lsf_width=7),
+        )
         assert p.config.engine == "jnp"
-        with pytest.raises(ValueError, match="mh"):
-            sm.make_problem(
-                cube, inst,
-                sm.RunConfig(engine="pallas_tiled", sampler="gibbs",
-                             fsf_size=9, lsf_width=7),
-            )
+
+    def test_explicit_tiled_gibbs_plans_a_tile(self, rng, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cube, inst = _cube_and_inst(rng)
+        p = sm.make_problem(
+            cube, inst,
+            sm.RunConfig(engine="pallas_tiled", sampler="gibbs",
+                         fsf_size=9, lsf_width=7),
+        )
+        assert p.config.engine == "pallas_tiled"
+        assert p.qvox_tiled is not None and p.config.tile is not None
 
     def test_explicit_tiled_plans_a_tile(self, rng, monkeypatch):
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
