@@ -1,0 +1,145 @@
+"""Kernel-rate sharded sampling (parallel/kernel_sharded.py; VERDICT r2 #2).
+
+Runs on the 8-device virtual CPU mesh with ``interior='jnp'`` (interpret
+mode lacks the TPU hardware PRNG — the pallas interior is gated on-chip by
+benchmarks/validate_pallas.py).  The load-bearing check is the
+incremental-vs-full residual invariant: a missed or misrouted halo strip
+push corrupts the residual rows shared between shards, which this catches
+directly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from deconv3d_tpu import Cube
+from deconv3d_tpu import convolve as cv
+from deconv3d_tpu import instruments as ins
+from deconv3d_tpu import sampler as sm
+from deconv3d_tpu.parallel.kernel_sharded import run_sweeps_kernel_sharded
+
+
+def _mesh(n=2, axis="sp"):
+    return Mesh(np.asarray(jax.devices()[:n]), (axis,))
+
+
+def _problem(rng, ny_mult=8, f=5, L=16, nx_cells=4, noise=0.2,
+             monkeypatch=None, **cfg_kw):
+    """pallas_tiled-built problem (low-rank factors present), CPU-hosted."""
+    Y, X = ny_mult * f, nx_cells * f
+    truth = np.zeros((L, Y, X), np.float32)
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    truth[L // 3, 2, 2] = 3.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.5), lsf=ins.GaussianLSF(fwhm=2.0),
+        pixel_scale=0.2,
+    )
+    cube0 = Cube.from_data(truth, crval=4750.0, cdelt=1.25)
+    fsf = inst.fsf.bank(cube0.wavelengths(), size=f, pixel_scale=0.2)
+    lsf = inst.lsf.bank(cube0.wavelengths(), cdelt=1.25, width=5)
+    conv = np.asarray(
+        cv.convolve_cube(jnp.asarray(truth), jnp.asarray(fsf),
+                         jnp.asarray(lsf))
+    )
+    data = (conv + noise * rng.standard_normal(conv.shape)).astype(np.float32)
+    cube = Cube.from_data(
+        data, variance=np.full_like(data, noise**2),
+        crval=4750.0, cdelt=1.25,
+    )
+    cfg = sm.RunConfig(
+        max_iterations=30, burn_in=10, seed=4, fsf_size=f, lsf_width=5,
+        engine="pallas_tiled", **cfg_kw,
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        p = sm.make_problem(cube, inst, cfg)
+    finally:
+        monkeypatch.undo()
+    return p
+
+
+def _invariant_err(p, st):
+    h = p.f // 2
+    clean = jnp.asarray(np.asarray(st.clean))
+    conv = cv.convolve_cube(clean[:, : p.Y, : p.X], p.fsf, p.lsf)
+    # forward model through the kernel's low-rank FSF reconstruction is the
+    # problem's own fsf bank — identical banks, so direct comparison holds
+    model = (
+        p.data_pad[:, h : h + p.Y, h : h + p.X]
+        - st.resid[:, h : h + p.Y, h : h + p.X]
+    )
+    w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X], np.float32)
+    scale = float(np.abs(np.asarray(conv)).max()) or 1.0
+    return (
+        np.abs(np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]).max()
+        / scale
+    )
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 4])
+def test_invariant_and_chi2_across_shard_edges(rng, monkeypatch, ndev):
+    p = _problem(rng, monkeypatch=monkeypatch)
+    state0 = sm.init_state(p)
+    res = run_sweeps_kernel_sharded(
+        p, state0, 12, _mesh(ndev), interior="jnp"
+    )
+    # host round-trip: sharded device layouts trip the CPU FFT thunk in
+    # convolve_cube (XLA layout RET_CHECK) — unrelated to the math under test
+    st = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x)), res.state
+    )
+    assert float(st.n_accept) > 12  # nonvacuous
+    assert _invariant_err(p, st) < 3e-5
+    chi_r, chi_f = float(st.chi2), float(sm.full_chi2(p, st))
+    assert abs(chi_r - chi_f) / max(chi_f, 1.0) < 2e-5
+    # edge AND interior rows both moved (the decomposition is total)
+    moved = np.asarray(st.clean != state0.clean).any(axis=(0, 2))
+    BYl = (p.ny // ndev) * p.f
+    assert moved[: p.f].any(), "edge rows never updated"
+    if p.ny // ndev > 2:
+        assert moved[p.f : BYl - p.f].any(), "interior rows never updated"
+
+
+def test_segmentation_is_bit_exact(rng, monkeypatch):
+    """Absolute-sweep keyed RNG: 6+6 sweeps == 12 sweeps, bit-for-bit
+    (checkpoint/resume contract, same as the tiled engine)."""
+    p = _problem(rng, monkeypatch=monkeypatch)
+    state0 = sm.init_state(p)
+    mesh = _mesh(2)
+    mono = run_sweeps_kernel_sharded(p, state0, 12, mesh, interior="jnp")
+    part = run_sweeps_kernel_sharded(p, state0, 6, mesh, interior="jnp")
+    part2 = run_sweeps_kernel_sharded(p, part.state, 6, mesh,
+                                      interior="jnp")
+    assert bool(jnp.array_equal(mono.state.clean, part2.state.clean))
+    assert bool(jnp.array_equal(mono.state.resid, part2.state.resid))
+    assert float(mono.state.chi2) == float(part2.state.chi2)
+    np.testing.assert_array_equal(
+        np.asarray(mono.chi2_trace),
+        np.asarray(jnp.concatenate([part.chi2_trace, part2.chi2_trace])),
+    )
+
+
+def test_adaptive_scales_update_everywhere(rng, monkeypatch):
+    p = _problem(rng, monkeypatch=monkeypatch)
+    state0 = sm.init_state(p)
+    res = run_sweeps_kernel_sharded(p, state0, 8, _mesh(2), interior="jnp")
+    dls = np.asarray(res.state.log_scale != state0.log_scale)
+    valid = np.asarray(p.valid)
+    # every valid spaxel's scale adapted during burn-in (edge and interior)
+    assert (dls | ~valid).all()
+
+
+def test_rejects_wrong_configs(rng, monkeypatch):
+    p = _problem(rng, monkeypatch=monkeypatch)
+    state0 = sm.init_state(p)
+    with pytest.raises(ValueError, match="divisible"):
+        run_sweeps_kernel_sharded(p, state0, 2, _mesh(3), interior="jnp")
+    pg = dataclasses.replace(
+        p, config=dataclasses.replace(p.config, sampler="gibbs")
+    )
+    with pytest.raises(ValueError, match="mh"):
+        run_sweeps_kernel_sharded(pg, state0, 2, _mesh(2), interior="jnp")
