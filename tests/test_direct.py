@@ -196,3 +196,64 @@ def test_positivity_rejected(rng):
             sm.RunConfig(sampler="direct", positivity=True, fsf_size=5,
                          lsf_width=5),
         )
+
+
+def test_direct_default_burn_in_is_zero():
+    """iid draws need no burn-in: the default must not discard half the
+    expensive exact samples (ADVICE r2)."""
+    cfg = sm.RunConfig(max_iterations=100, sampler="direct")
+    assert cfg.resolved_burn_in() == 0
+    # explicit burn_in still wins
+    cfg2 = sm.RunConfig(max_iterations=100, sampler="direct", burn_in=10)
+    assert cfg2.resolved_burn_in() == 10
+    # MCMC samplers keep the half-run default
+    assert sm.RunConfig(max_iterations=100).resolved_burn_in() == 50
+
+
+def test_radial_preconditioner_solves_exactly(rng):
+    """banded_radial (full-field-scale structure): the posterior mean must
+    still satisfy the dense normal equations — binning costs iterations,
+    never correctness — and beat jacobi on iteration count."""
+    p, data, fsf, lsf = _problem(
+        rng, Y=16, X=16, fsf_fwhm=0.4, fsf_size=5, lsf_fwhm=2.0,
+        lsf_width=5, direct_maxiter=2000, direct_precond="banded_radial",
+    )
+    res = dr.posterior_mean(p)
+    assert float(res.rel_residual) <= p.config.direct_tol
+    K = _dense_forward_operator(p.L, p.Y, p.X, fsf, lsf)
+    W = np.eye(p.L * p.Y * p.X) / 0.5**2
+    mean = np.linalg.solve(K.T @ W @ K, K.T @ W @ data.ravel())
+    # accuracy is set by direct_tol (PCG residual), not by the binning; at
+    # rel_residual 1e-6 the solution carries ~1e-4-relative error
+    np.testing.assert_allclose(
+        np.asarray(res.x).ravel(), mean, rtol=1e-3, atol=1e-4
+    )
+    p_j = _problem(rng, Y=16, X=16, fsf_fwhm=0.4, fsf_size=5, lsf_fwhm=2.0,
+                   lsf_width=5, direct_maxiter=2000,
+                   direct_precond="jacobi")[0]
+    it_jacobi = int(dr.posterior_mean(p_j).iterations)
+    assert int(res.iterations) < it_jacobi / 2, (
+        int(res.iterations), it_jacobi
+    )
+
+
+def test_banded_auto_switches_to_radial(rng, monkeypatch):
+    p, *_ = _problem(rng)
+    monkeypatch.setattr(dr, "BANDED_BYTES_BUDGET", 16)
+    calls = {}
+    orig = dr._make_radial_preconditioner
+
+    def spy(problem, n_bins=dr.N_RADIAL_BINS):
+        calls["radial"] = True
+        return orig(problem, n_bins)
+
+    monkeypatch.setattr(dr, "_make_radial_preconditioner", spy)
+    dr.make_preconditioner(p, mode="banded")
+    assert calls.get("radial")
+
+
+def test_direct_drops_quad_keeps_mean(rng):
+    """HBM: direct problems keep only quad_mean (init jump-scale input)."""
+    p, *_ = _problem(rng)
+    assert p.quad is None and p.quad_mean is not None
+    sm.init_state(p)  # must not touch p.quad
