@@ -35,6 +35,16 @@ Pattern families (``coarse_mode``):
   * ``block``: the all-ones pattern (smooth move; stiff under blur but
     useful on weakly-blurred data).
   * ``mixed``: soft + block.
+  * ``global`` (round 3; VERDICT r2 weak #4): ONE globally-coherent
+    f-periodic direction per soft pattern — d[y,x] = p[y mod f, x mod f]
+    over the whole (valid) field — with the coefficient SPECTRUM δ[λ]
+    drawn EXACTLY from its banded Gaussian conditional
+    A = Mᵀ·diag(QR)·M, QR[λ] = Σ_uv R_d²w (a hit-and-run Gibbs move
+    along the blur-null subspace: acceptance 1, no tuning).  The round-2
+    eigen-analysis showed the truly degenerate posterior directions are
+    exactly these global f-periodic patterns — per-anchor moves leak
+    stiffness at block edges; the global draw traverses the whole soft
+    subspace in one exact update.
 
 Proposal scale: the conditional along a pattern direction is Gaussian with
 per-λ precision quadR, so the random-walk optimum ≈ 2.4/√L · quadR^{-1/2}
@@ -71,9 +81,12 @@ def soft_patterns(fsf_np: np.ndarray, k: int = N_SOFT) -> np.ndarray:
     """
     fsf = np.asarray(fsf_np, np.float64)
     L, f, _ = fsf.shape
-    # autocorrelation per λ, summed: (F⋆F)[dy, dx], dy/dx ∈ [-(f-1), f-1]
+    # autocorrelation per λ, summed: (F⋆F)[dy, dx], dy/dx ∈ [-(f-1), f-1].
+    # Subsample STRIDED across the full λ range (≤64 planes): the first-64
+    # prefix would bias the patterns toward the blue end for chromatic FSFs
+    # (fwhm_slope), costing mixing efficiency on red-dominated cubes.
     ac = np.zeros((2 * f - 1, 2 * f - 1))
-    for l in range(min(L, 64)):  # smooth in λ: a subsample is plenty
+    for l in range(0, L, max(1, L // 64)):
         import scipy.signal
 
         ac += scipy.signal.correlate2d(fsf[l], fsf[l], mode="full")
@@ -98,6 +111,23 @@ def _patterns(problem, mode: str):
     if mode == "mixed":
         return _patterns(problem, "soft") + _patterns(problem, "block")
     raise ValueError(f"unknown coarse mode {mode!r}")
+
+
+def pattern_field_response(d_yx: jax.Array, fsf: jax.Array) -> jax.Array:
+    """R_d[λ,u,v] = Σ_{y,x} d[y,x]·F[λ, u−y, v−x] on the PADDED grid.
+
+    The spaxel-(y,x) patch occupies padded rows [y, y+f) — exactly the
+    sampler's residual layout — so committing ``g[λ]·R_d[λ]`` is the exact
+    separable delta of the global move clean += δ·d.
+    """
+    L, f, _ = fsf.shape
+    return jax.lax.conv_general_dilated(
+        d_yx[None, None].astype(fsf.dtype),
+        jnp.flip(fsf, (1, 2))[:, None],
+        window_strides=(1, 1),
+        padding=((f - 1, f - 1), (f - 1, f - 1)),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]                                              # [L, Hp, Wp]
 
 
 def pattern_response(fsf: jax.Array, pattern: np.ndarray) -> jax.Array:
@@ -152,6 +182,74 @@ def _expand_anchors(g: jax.Array, R: jax.Array, B: int, Hp: int, Wp: int):
     return out
 
 
+def global_constants(problem):
+    """mode='global': per-pattern (d_field, QR, banded Cholesky of the
+    coefficient-spectrum precision) — build once per run.
+
+    The direction field d[y,x] = p[y mod f, x mod f]·valid zeroes frozen
+    spaxels, so the conditional is exact under any mask.  QR[λ] =
+    Σ_uv R_d[λ]² w is constant (weights are), hence the [L, lw] banded
+    Cholesky of A = Mᵀ diag(QR) M factorises once; R_d itself is
+    recomputed per pass (one small conv) to keep memory flat on big
+    fields.  Patterns whose response norm vanishes at some λ (fully
+    masked planes → improper conditional) are dropped.
+    """
+    from . import banded as bd
+
+    p = problem
+    dtype = p.config.dtype
+    w_pad = p.w_pad.astype(dtype)
+    validf = p.valid.astype(dtype)
+    out = []
+    for pat in soft_patterns(np.asarray(p.fsf)):
+        d = jnp.tile(jnp.asarray(pat, dtype), (p.ny, p.nx)) * validf
+        R_d = pattern_field_response(d, p.fsf.astype(dtype))
+        QR = jnp.einsum("luv,luv->l", R_d, R_d * w_pad,
+                        precision=jax.lax.Precision.HIGHEST)
+        if float(jnp.min(QR)) <= 0.0:
+            continue                                  # improper conditional
+        chol = bd.cholesky_banded(bd.precision_bands(p.lsf, QR))
+        out.append(("global", d, QR, chol))
+    return out
+
+
+@jax.jit
+def _global_pass_one(problem, state, d, QR, R, key):
+    """One exact hit-and-run Gibbs draw of the global pattern's spectrum.
+
+    δ ~ N(A⁻¹ Mᵀ LR, A⁻¹) with A = Mᵀ diag(QR) M: drawing the coefficient
+    of the direction field from its exact full conditional leaves the
+    posterior invariant (a Gibbs kernel on the 1-D-per-λ subspace), with
+    acceptance 1 and zero tuning.
+    """
+    from .. import sampler as sm
+    from . import banded as bd
+
+    p = problem
+    w_pad = p.w_pad.astype(state.resid.dtype)
+    R_d = pattern_field_response(d, p.fsf.astype(state.resid.dtype))
+    LR = jnp.einsum("luv,luv->l", R_d, state.resid * w_pad,
+                    precision=jax.lax.Precision.HIGHEST)
+    b = sm._lsf_apply_T_lastaxis(LR[None], p.lsf)[0]
+    noise = jax.random.normal(key, (p.L,), dtype=LR.dtype)
+    delta = bd.sample_conditional(R, b, noise)
+    g = sm._lsf_apply_lastaxis(delta[None], p.lsf)[0]
+    dchi = jnp.sum(g * g * QR - 2.0 * g * LR, dtype=jnp.float32)
+
+    resid = state.resid - g[:, None, None] * R_d
+    clean = state.clean + (delta[:, None, None] * d[None]).astype(
+        state.clean.dtype
+    )
+    y = dchi - state.chi2_comp
+    t = state.chi2 + y
+    chi2c = (t - state.chi2) - y
+    nL = jnp.float32(p.L)
+    return dataclasses.replace(
+        state, resid=resid, clean=clean, chi2=t, chi2_comp=chi2c,
+        n_accept=state.n_accept + nL, n_propose=state.n_propose + nL,
+    )
+
+
 def coarse_constants(problem, mode: str = "soft"):
     """Per-pattern (pattern, R, quadR, validR) — build once per run.
 
@@ -161,6 +259,8 @@ def coarse_constants(problem, mode: str = "soft"):
     does not target.  Partially-valid edge anchors keep mixing through the
     fine sweep.
     """
+    if mode == "global":
+        return global_constants(problem)
     p = problem
     valid = np.asarray(p.valid)
     # w_pad may be stored bf16 (pallas_tiled engine); convs need one dtype
@@ -176,7 +276,9 @@ def coarse_constants(problem, mode: str = "soft"):
         valid_r = jnp.asarray(
             ok & np.asarray(jnp.sum(quad_r, axis=0) > 0), p.config.dtype
         )
-        out.append((jnp.asarray(pat, p.config.dtype), R, quad_r, valid_r))
+        out.append(
+            ("anchor", jnp.asarray(pat, p.config.dtype), R, quad_r, valid_r)
+        )
     return out
 
 
@@ -253,12 +355,18 @@ def coarse_pass(problem, state, constants, key, scale_mult: float = 2.4):
     """One coarse pass: every pattern of the configured mode in sequence.
 
     ``constants`` comes from :func:`coarse_constants`.  Posterior-invariant:
-    a fixed sequence of valid MH kernels.
+    a fixed sequence of valid MH kernels ('anchor') / exact Gibbs draws
+    along global directions ('global').
     """
-    for pat, R, quad_r, valid_r in constants:
+    for entry in constants:
         key, sub = jax.random.split(key)
-        state = _pattern_pass(
-            problem, state, pat, R, quad_r, valid_r, sub,
-            scale_mult=float(scale_mult),
-        )
+        if entry[0] == "global":
+            _, d, QR, R = entry
+            state = _global_pass_one(problem, state, d, QR, R, sub)
+        else:
+            _, pat, R, quad_r, valid_r = entry
+            state = _pattern_pass(
+                problem, state, pat, R, quad_r, valid_r, sub,
+                scale_mult=float(scale_mult),
+            )
     return state

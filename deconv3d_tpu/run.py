@@ -68,7 +68,7 @@ class Run:
         fsf_tol: float = 1e-5,
         track_variance: bool = True,
         coarse_every: Optional[int] = None,
-        coarse_mode: str = "mixed",
+        coarse_mode: str = "global",
         direct_tol: float = 1e-6,
         direct_maxiter: int = 500,
         direct_precond: str = "banded",
