@@ -327,10 +327,10 @@ def kernel_sharded_case(L=512, Y=60, X=60, n_timed=32):
     state0 = sm.init_state(p)
     res = run_sweeps_kernel_sharded(p, state0, 4, mesh)        # compile
     jax.block_until_ready(res.state.clean)
-    res = run_sweeps_kernel_sharded(p, res.state, n_timed)
+    res = run_sweeps_kernel_sharded(p, res.state, n_timed, mesh)
     jax.block_until_ready(res.state.clean)
     t0 = time.perf_counter()
-    res = run_sweeps_kernel_sharded(p, res.state, n_timed)
+    res = run_sweeps_kernel_sharded(p, res.state, n_timed, mesh)
     jax.block_until_ready(res.state.clean)
     rate_sh = n_timed / (time.perf_counter() - t0)
 

@@ -152,7 +152,7 @@ def plan_tiles(f: int, ny: int, nx: int, L: int, lw: int,
 # ---------------------------------------------------------------------------
 
 def _make_tiled_kernel(*, f, ny_t, nx_t, n_ty, n_tx, L, Lp, lw, S, target,
-                       mode="mh", chunk=_LANE):
+                       mode="mh", y_base=0, chunk=_LANE):
     """Sweep kernel over a (sweeps, tile_y, tile_x, colors) grid.
 
     Grid order (colors fastest, tiles raster, sweeps outermost) + strictly
@@ -187,7 +187,9 @@ def _make_tiled_kernel(*, f, ny_t, nx_t, n_ty, n_tx, L, Lp, lw, S, target,
         tx = pl.program_id(2)
         c = pl.program_id(3)
 
-        y0 = ty * BY                                  # window top (any align)
+        # window top (any align); y_base lets a sub-grid of block-rows ride
+        # inside a larger HBM window buffer (kernel_sharded's edge phases)
+        y0 = y_base + ty * BY
         xoff = tx * BX
         x16 = pl.multiple_of(16 * (xoff // 16), 16)   # window left (bf16 tile)
         tb = xoff - x16                               # in [0, 16)
@@ -433,16 +435,21 @@ def _tile_split(problem: sm.Problem):
     return ny_t, nx_t, problem.ny // ny_t, problem.nx // nx_t
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps",), donate_argnums=(1,))
+@functools.partial(
+    jax.jit, static_argnames=("n_sweeps", "y_base"), donate_argnums=(1,)
+)
 def _tiled_segment_arrays(problem: sm.Problem, carry, adapt, seed, sweep0,
-                          n_sweeps: int):
+                          n_sweeps: int, y_base: int = 0):
     """Run one pallas_call of ``n_sweeps`` tiled sweeps; raw per-step outputs.
 
     ``carry`` = (resid_k [Hp, Wpa_g, Lp] f32, w_k same bf16, ls_k
     [n_tiles·nij8, n_colors]); the carry is donated and resid_k is aliased
     through the kernel (read + written in place via window DMA).  ``seed``
     is the run-constant per-chain seed, ``sweep0`` the absolute sweep index
-    of the segment start (see the kernel's RNG note).
+    of the segment start (see the kernel's RNG note).  ``y_base`` offsets
+    every window read/write by that many rows — the problem's block-row
+    grid then covers rows [y_base, y_base + ny·f + f−1) of a LARGER carry
+    buffer (kernel_sharded's per-phase sub-grids).
     """
     p = problem
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
@@ -487,6 +494,7 @@ def _tiled_segment_arrays(problem: sm.Problem, carry, adapt, seed, sweep0,
     kernel = _make_tiled_kernel(
         f=f, ny_t=ny_t, nx_t=nx_t, n_ty=n_ty, n_tx=n_tx, L=L, Lp=Lp, lw=lw,
         S=S, target=float(p.config.target_acceptance), mode=mode,
+        y_base=y_base,
     )
     out_shapes = (
         jax.ShapeDtypeStruct(

@@ -2,58 +2,60 @@
 
 ``parallel/sweep_sharded.py`` shards one chain's sweep over a Y-mesh but
 re-implements the color step in plain jnp — on a real multi-chip slice the
-sweep would run ~30× below the fused-kernel rate.  This module keeps the
-BULK of every sweep on the fused HBM-tiled Pallas kernel
-(ops/pallas_tiled.py) while only the shard-boundary rows take the jnp path:
+sweep would run ~30× below the fused-kernel rate.  This module keeps EVERY
+phase of the sweep on the fused HBM-tiled Pallas kernel
+(ops/pallas_tiled.py), with exactly TWO collectives per sweep:
 
-  * The spaxel grid is Y-sharded with the halo-replicated residual layout of
-    sweep_sharded (each shard stores its padded rows plus f−1 replicated
-    neighbour rows).
-  * **Interior** spaxel rows (all but the first f and last f spaxel rows of
-    each shard) have FSF patches that provably never touch a shard-shared
-    padded row: block-row i ≥ 1 patches start at padded row i·f + cy ≥ f
-    > f−2 (top shared rows are [0, f−1)) and block-row i ≤ nyl−2 patches end
-    before nyl·f (bottom shared rows).  So one per-shard ``pallas_call``
-    sweeps ALL f² colors over the interior with NO communication — the
-    entire fused-kernel machinery applies per shard unchanged, with the
-    edge block-rows masked out of its validity layout.
-  * **Edge** spaxel rows (2 per shard per color) update afterwards via a
-    small slab-restricted jnp color step; their patch deltas in the shared
-    rows are pushed to the neighbours with a ``ppermute`` strip exchange per
-    color (the sweep_sharded protocol, restricted to the two edge rows).
+  * The spaxel grid is Y-sharded with the halo-replicated residual layout
+    of sweep_sharded (each shard stores its padded rows plus f−1 replicated
+    neighbour rows), kept in the tiled kernel's window layout
+    [Hpl, Wpa, Lp].
+  * Each shard's block-rows split into three row bands — TOP (block-row 0),
+    INTERIOR (block-rows 1..nyl−2), BOTTOM (block-row nyl−1) — and each
+    band runs the tiled kernel as its own sub-grid inside the same HBM
+    buffer (the kernel's ``y_base`` window offset), sweeping all f² colors
+    at kernel rate.  No data is copied between bands.
+  * Interaction analysis (ascending-color scans): interior patches never
+    touch shard-shared rows; two shards' TOP bands only interact through a
+    shard's BOTTOM band and vice versa — never top↔top or bottom↔bottom
+    (their patches are ≥ nyl·f − f rows apart).  Hence the fixed scan
+    order [interior | all tops | all bottoms] needs replica synchronisation
+    only twice: after the tops (push top-strip deltas to the previous
+    shard's tail replicas) and after the bottoms (push bottom-strip deltas
+    to the next shard's head replicas) — one ``ppermute`` each.
 
-Scan-order validity: one sweep = [all interior spaxels color-by-color] then
-[edge spaxels color-by-color].  Same-color spaxels always commute (stride =
-footprint, across shard boundaries too), and interleaving interior-first is
-just a different fixed scan order over the same single-site kernels — the
-chain targets the identical posterior as every other engine (the
-whole-cube kernel's visit order differs from the tiled kernel's for the
-same reason).
+Scan-order validity: same-color spaxels always commute (stride = footprint,
+across shard boundaries too); the band decomposition is just a fixed scan
+order over the same single-site kernels, so the chain targets the identical
+posterior as every other engine (the whole-cube and tiled kernels already
+use different — equally valid — fixed orders).
 
-RNG: the kernel draws per-(shard, absolute sweep, color) hardware-PRNG
-streams (shard index folded into the seed); the edge steps fold
-(absolute sweep, color) into the run-constant chain key — both are
-segmentation/resume bit-exact, like the tiled engine.
+RNG: each band's kernel draws per-(shard, band, absolute sweep, tile,
+color) hardware-PRNG streams (shard and band folded into the seed), so any
+segmentation — including checkpoint/resume — replays bit-exactly, like the
+single-device tiled engine.
 
-Testing (this environment has ONE real chip and interpret mode lacks the
-hardware PRNG): ``interior='jnp'`` substitutes a masked jnp color step that
-draws global-grid host-keyed randoms (replicated across shards, sliced
-locally), so the whole machinery — window layouts, halo strip exchange,
-chi²/acceptance bookkeeping — runs on the CPU mesh.  A missed or misrouted
-halo push breaks the incremental-vs-full residual invariant at shard
-boundaries, so the CPU suite asserts that invariant plus chi² consistency
-and segmentation determinism at several mesh sizes.  (Runs at different
-mesh sizes are different — equally valid — fixed scan orders, since the
-interior/edge partition follows the shard boundaries; bit-equality across
-mesh sizes is therefore not a meaningful target.)  The real kernel
-interior is validated on-chip by benchmarks/validate_pallas.py (invariant
-+ determinism + chi² consistency + single-shard throughput).
+Compile economics: the jitted shard program is cached per problem in
+``_PROGRAM_CACHE`` (a fresh jit closure per call would recompile every
+segment; remote compiles cost minutes on this toolchain).
+
+Testing (ONE real chip; interpret mode lacks the TPU PRNG):
+``interior='jnp'`` swaps each band's kernel call for a masked jnp color
+step with the same row bands, order, and strip exchanges, so the whole
+machinery — window layouts, band decomposition, halo strips, bookkeeping —
+runs on the virtual CPU mesh.  A missed or misrouted strip breaks the
+incremental-vs-full residual invariant at shard boundaries, which the CPU
+suite asserts at several mesh sizes, plus chi² consistency and bit-exact
+segmentation.  The pallas path is validated on-chip by
+benchmarks/validate_pallas.py (invariant + determinism + throughput vs the
+unsharded tiled engine).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -62,76 +64,43 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import sampler as sm
 from ..ops import pallas_tiled as pt
-from ..ops.pallas_sweep import _pad_lanes
+from ..ops.pallas_sweep import _from_color_layout, _pad_lanes
 from .sweep_sharded import overlap_shard, overlap_unshard
 
 
-def _ppermute_strips(strip_top, strip_bot, axis_name):
-    """Send my bottom delta strip to next, my top strip to prev; receive
-    the strips that apply to MY replicated rows (zeros at domain ends)."""
-    n = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
-    from_prev = jax.lax.ppermute(
-        strip_bot, axis_name, [(i, (i + 1) % n) for i in range(n)]
-    )
-    from_next = jax.lax.ppermute(
-        strip_top, axis_name, [(i, (i - 1) % n) for i in range(n)]
-    )
-    zero = jnp.zeros_like(strip_top)
-    from_prev = jnp.where(idx == 0, zero, from_prev)
-    from_next = jnp.where(idx == n - 1, zero, from_next)
-    return from_prev, from_next
+#: compiled sharded programs + shard constants, keyed by
+#: (id(problem), mesh, axis_name, n_sweeps, interior); purged when the
+#: problem's config is collected.
+_PROGRAM_CACHE: dict = {}
 
 
 def _strided_cols(arr_rc, cx, nx, f):
-    """arr[..., r, cx + j·f] for j < nx: slice + reshape (no gathers).
+    """arr[..., cx + j·f, :] for j < nx: slice + reshape (no gathers).
 
-    ``arr_rc``'s last-but-? layout: works on [..., C] col axis as axis -2
-    with a trailing lane axis; here arr is [rows, cols, Lp] and we slice
-    one row first.  Requires cols padded so cx + nx·f fits.
+    Works on [..., cols, lanes]; requires cols padded so cx + nx·f fits.
     """
-    sl = jax.lax.dynamic_slice_in_dim(arr_rc, jnp.asarray(cx, jnp.int32), nx * f, axis=-2)
+    sl = jax.lax.dynamic_slice_in_dim(
+        arr_rc, jnp.asarray(cx, jnp.int32), nx * f, axis=-2
+    )
     shp = sl.shape
     return sl.reshape(shp[:-2] + (nx, f, shp[-1]))[..., :, 0, :]
 
 
-def run_sweeps_kernel_sharded(
-    problem: sm.Problem,
-    state: sm.SamplerState,
-    n_sweeps: int,
-    mesh: Mesh,
-    axis_name: str = "sp",
-    interior: str | None = None,
-) -> sm.ChainResult:
-    """Run ``n_sweeps`` of ONE chain Y-sharded over ``mesh`` at kernel rate.
+def _band_rows(nyl: int, f: int):
+    """(rows0, n_blockrows, y_base) for the top/interior/bottom bands."""
+    bands = [("top", 0, 1, 0)]
+    if nyl > 2:
+        bands.append(("interior", f, nyl - 2, f))
+    bands.append(("bottom", (nyl - 1) * f, 1, (nyl - 1) * f))
+    return bands
 
-    ``problem`` must be built with ``sampler='mh'``.  ``interior`` selects
-    the interior engine: 'pallas' (default on TPU — the fused tiled kernel
-    per shard) or 'jnp' (masked jnp step with shard-replicated global
-    draws; the CPU-mesh test path).  Input/output state uses the standard
-    single-device layout.
-    """
-    p = problem
+
+def _build_program(p, mesh, axis_name, n_sweeps, interior):
+    """Build (once) the jitted sharded program + its shard constants."""
     cfg = p.config
-    if cfg.sampler != "mh":
-        raise ValueError(
-            "run_sweeps_kernel_sharded supports sampler='mh' (the edge "
-            "pass and the tiled kernel share its proposal algebra); use "
-            "parallel.sweep_sharded for other modes."
-        )
-    if cfg.positivity:
-        raise ValueError("positivity is not supported on this path")
-    if interior is None:
-        interior = "pallas" if jax.default_backend() == "tpu" else "jnp"
     ndev = mesh.shape[axis_name]
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
-    if ny % ndev:
-        raise ValueError(
-            f"ny={ny} color-rows must be divisible by the mesh size {ndev}"
-        )
     nyl = ny // ndev
-    if nyl < 2:
-        raise ValueError(f"need ≥2 block-rows per shard (ny={ny}, D={ndev})")
     Lp = _pad_lanes(L)
     lw = int(p.lsf.shape[1])
     BYl = nyl * f
@@ -140,69 +109,49 @@ def run_sweeps_kernel_sharded(
     n_colors = f * f
     target = float(cfg.target_acceptance)
     dtype = cfg.dtype
-
-    # ---- local tile plan (per-shard kernel geometry) ----
-    if p.fsf_spec is None:
-        raise ValueError(
-            "problem lacks low-rank FSF factors — build it with "
-            "engine='pallas_tiled' (or 'pallas')"
-        )
     S = int(p.fsf_spec.shape[0])
-    tile_l = pt.plan_tiles(f, nyl, nx, L, lw, S)
-    if tile_l is None:
-        raise ValueError("no per-shard tiling fits the VMEM budget")
-    ny_t, nx_t = tile_l
-    Wpa_g = pt.global_window_width(f, nx, nx_t)
-    cfg_l = dataclasses.replace(cfg, tile=tile_l, engine="pallas_tiled")
+
+    bands = _band_rows(nyl, f)
+    # per-band tile plans; the shared window buffer must cover the widest
+    band_geo = []
+    Wpa_g = 0
+    for name, rows0, nyb, y_base in bands:
+        tile_b = pt.plan_tiles(f, nyb, nx, L, lw, S)
+        if tile_b is None:
+            raise ValueError("no per-band tiling fits the VMEM budget")
+        band_geo.append((name, rows0, nyb, y_base, tile_b))
+        Wpa_g = max(Wpa_g, pt.global_window_width(f, nx, tile_b[1]))
 
     # ---- shard-constant host-side precomputation ----
     w_pad = p.w_pad.astype(dtype)
-    # global quad (cube layout) — tiled problems dropped it; rebuild once
     quad_g = (
         p.quad if p.quad is not None
         else sm._quad_conv(w_pad, np.asarray(p.fsf), dtype)
     )
-    # window-lane layouts per shard, stacked on a leading device axis
-    resid_ov = overlap_shard(state.resid.astype(jnp.float32), f, ndev)
     w_ov = overlap_shard(w_pad, f, ndev)
+    w_w0 = pt._cube_to_window_layout(w_ov, Wpa_g, Lp).astype(jnp.bfloat16)
 
-    def stack_windows(arr_ov):
-        # [L, ndev·Hpl, Wp] -> [ndev·Hpl, Wpa_g, Lp] (shardable on axis 0)
-        return pt._cube_to_window_layout(arr_ov, Wpa_g, Lp)
-
-    resid_w0 = stack_windows(resid_ov)
-    w_w0 = stack_windows(w_ov).astype(jnp.bfloat16)
-
-    # quad in window-lane layout [Yc, Xc+f, Lp] (cols padded for strides)
+    # quad in window-lane layout [Yc, Xc+f, Lp] (cols padded for strides;
+    # only the jnp test path reads it)
     quad_w0 = jnp.pad(
         jnp.moveaxis(quad_g.astype(jnp.float32), 0, -1),
         ((0, 0), (0, f), (0, Lp - L)),
     )
-    # per-shard quad_tiled for the kernel (interior rows ride the full
-    # local grid; edge rows are masked via valid, not via quad)
-    qt_parts = [
-        pt.tiled_quad_layout(
-            jax.lax.dynamic_slice_in_dim(quad_g, d * BYl, BYl, axis=1),
-            nyl, nx, f, ny_t, nx_t, L, Lp,
-        )
-        for d in range(ndev)
-    ]
-    quad_tiled_st = jnp.concatenate([q[None] for q in qt_parts], axis=0)
+    # per-(band, shard) quad_tiled stacks for the kernels
+    qt_stacks = []
+    for name, rows0, nyb, y_base, (ny_t, nx_t) in band_geo:
+        parts = [
+            pt.tiled_quad_layout(
+                jax.lax.dynamic_slice_in_dim(
+                    quad_g, d * BYl + rows0, nyb * f, axis=1
+                ),
+                nyb, nx, f, ny_t, nx_t, L, Lp,
+            )
+            for d in range(ndev)
+        ]
+        qt_stacks.append(jnp.concatenate([q[None] for q in parts], axis=0))
 
     validf = p.valid.astype(dtype)                      # [Yc, Xc]
-    # interior mask: zero out the first/last f spaxel rows of every shard
-    rows = np.arange(ny * f)
-    local = rows % BYl
-    interior_rows = (local >= f) & (local < BYl - f)
-    valid_int = p.valid & jnp.asarray(interior_rows)[:, None]
-    # per-shard local problem template for the kernel path (array leaves
-    # replaced inside shard_map; big global leaves dropped)
-    local_tmpl = dataclasses.replace(
-        p, ny=nyl, config=cfg_l, data_pad=None, w_pad=None, quad=None,
-        quad_tiled=None, quad_mean=None, qvox=None, qvox_tiled=None,
-        chol=None, valid=None,
-    )
-
     fsf_lanes = jnp.pad(
         jnp.moveaxis(p.fsf.astype(jnp.float32), 0, -1),
         ((0, 0), (0, 0), (0, Lp - L)),
@@ -211,261 +160,145 @@ def run_sweeps_kernel_sharded(
     monitor_idx = np.asarray(p.monitor_idx)
     Yc, Xc = p.Yc, p.Xc
 
-    idx_sw = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
-    adapt = sm.adapt_schedule(idx_sw, cfg)
-    burn = cfg.resolved_burn_in()
-    keep = jnp.where(
-        (idx_sw >= burn) & ((idx_sw - burn) % cfg.keep_one_in == 0), 1.0, 0.0
-    ).astype(jnp.float32)
+    # per-band local problem templates (array leaves installed per shard
+    # inside shard_map; big global leaves dropped)
+    band_tmpls = [
+        dataclasses.replace(
+            p, ny=nyb,
+            config=dataclasses.replace(
+                cfg, tile=tile_b, engine="pallas_tiled"
+            ),
+            data_pad=None, w_pad=None, quad=None, quad_tiled=None,
+            quad_mean=None, qvox=None, qvox_tiled=None, chol=None,
+            valid=None,
+        )
+        for (name, rows0, nyb, y_base, tile_b) in band_geo
+    ]
 
-    spec_row = P(axis_name, None, None)                 # leading row-sharded
     spec_yx = P(axis_name, None)
-    spec_cl = P(None, axis_name, None)                  # [L, rows, X]
+    spec_cl = P(None, axis_name, None)
 
     # ------------------------------------------------------------------
     # the shard program
     # ------------------------------------------------------------------
-    def _program(resid_w, w_w, quad_w, quad_tiled, valid_l, valid_int_l,
-                 clean, ls_cube, sum_clean, sum_sq, key, chi2, chi2c,
-                 adapt, keep, sweep0):
+    def _program(resid_w, w_w, quad_w, qts, valid_l, clean, ls_cube,
+                 sum_clean, sum_sq, key, chi2, chi2c, adapt, keep, sweep0):
         dev = jax.lax.axis_index(axis_name)
-        quad_tiled = quad_tiled[0]                       # drop stacked dim
-        local_p = dataclasses.replace(
-            local_tmpl, valid=valid_int_l > 0, quad_tiled=quad_tiled,
-            w_pad=jnp.zeros((1, 1, 1), jnp.bfloat16),
-        )
         validf_l = valid_l                               # [BYl, Xc] float
-        # kernel seed: per-shard, run-constant
-        seed_sh = jax.random.randint(
-            jax.random.fold_in(jax.random.fold_in(key, 17), dev),
-            (), 0, np.int32(2**31 - 1),
-        ).astype(jnp.int32)
+        codes = jnp.arange(n_colors, dtype=jnp.int32)
 
-        def edge_rows_of(arr_rw, cy, cx):
-            """Top/bottom edge slabs [2, f, nx·f, Lp] from window layout."""
-            top = jax.lax.dynamic_slice(
-                arr_rw, (sm._i32(cy), sm._i32(cx), sm._i32(0)), (f, nx * f, Lp)
-            )
-            bot = jax.lax.dynamic_slice(
-                arr_rw, (sm._i32((nyl - 1) * f + cy), sm._i32(cx), sm._i32(0)), (f, nx * f, Lp)
-            )
-            return jnp.stack([top, bot])
+        # static per-band row masks ([BYl] bool)
+        rowmasks = []
+        for (name, rows0, nyb, y_base, tile_b) in band_geo:
+            m = np.zeros(BYl, bool)
+            m[rows0 : rows0 + nyb * f] = True
+            rowmasks.append(jnp.asarray(m))
 
-        def edge_color_step(carry, xs):
-            (resid_w, clean, ls_cube, chi2, chi2c, acc, nprop) = carry
-            color, adapt_t, key_e = xs
-            cy, cx = color // f, color % f
-            r_b = (nyl - 1) * f + cy
+        def jnp_color_step(valid_mask):
+            """Masked all-rows color step on the window layout (CPU test
+            stand-in for one band's kernel call)."""
 
-            slabs = edge_rows_of(resid_w, cy, cx)        # [2, f, nxf, Lp]
-            wsl = edge_rows_of(w_w, cy, cx).astype(jnp.float32)
-            rw = (slabs * wsl).reshape(2, f, nx, f, Lp)
-            lin = jnp.einsum(
-                "eajbl,abl->ejl", rw, fsf_lanes,
-                precision=jax.lax.Precision.HIGHEST,
-            )[..., :L]                                   # [2, nx, L]
+            def step(carry, xs):
+                (resid_w, clean, ls_cube, chi2, chi2c, acc, nprop) = carry
+                color, adapt_t, key_c = xs
+                cy, cx = color // f, color % f
+                slab = jax.lax.dynamic_slice(
+                    resid_w, (sm._i32(cy), sm._i32(cx), sm._i32(0)),
+                    (BYl, nx * f, Lp))
+                wsl = jax.lax.dynamic_slice(
+                    w_w, (sm._i32(cy), sm._i32(cx), sm._i32(0)),
+                    (BYl, nx * f, Lp)).astype(jnp.float32)
+                rw = (slab * wsl).reshape(nyl, f, nx, f, Lp)
+                lin = jnp.einsum(
+                    "iajbl,abl->ijl", rw, fsf_lanes,
+                    precision=jax.lax.Precision.HIGHEST)[..., :L]
 
-            # quad/valid/scale at the two edge spaxel rows
-            def row_pick(arr_rc, r):                     # [rows, X(+f), lanes]
-                row = jax.lax.dynamic_slice_in_dim(arr_rc, jnp.asarray(r, jnp.int32), 1, axis=0)
-                return _strided_cols(row, cx, nx, f)[0]
+                quad_c = _strided_cols(
+                    jax.lax.dynamic_slice_in_dim(
+                        quad_w.reshape(nyl, f, Xc + f, Lp),
+                        jnp.asarray(cy, jnp.int32), 1, axis=1,
+                    )[:, 0], cx, nx, f,
+                )[..., :L]                               # [nyl, nx, L]
+                vmask = valid_mask * validf_l
+                vi = vmask.reshape(nyl, f, Xc)
+                valid_c = _strided_cols(
+                    jnp.pad(
+                        jax.lax.dynamic_slice_in_dim(
+                            vi, jnp.asarray(cy, jnp.int32), 1, axis=1
+                        )[:, 0],
+                        ((0, 0), (0, f)),
+                    )[..., None], cx, nx, f,
+                )[..., 0]                                # [nyl, nx]
+                lsr = ls_cube.reshape(nyl, f, Xc)
+                ls_c = _strided_cols(
+                    jnp.pad(
+                        jax.lax.dynamic_slice_in_dim(
+                            lsr, jnp.asarray(cy, jnp.int32), 1, axis=1
+                        )[:, 0],
+                        ((0, 0), (0, f)),
+                    )[..., None], cx, nx, f,
+                )[..., 0]
 
-            quad_e = jnp.stack(
-                [row_pick(quad_w, cy), row_pick(quad_w, r_b)]
-            )[..., :L]                                   # [2, nx, L]
-            vcol = jnp.pad(validf_l, ((0, 0), (0, f)))[:, :, None]
-            valid_e = jnp.stack(
-                [row_pick(vcol, cy), row_pick(vcol, r_b)]
-            )[..., 0]                                    # [2, nx]
-            lcol = jnp.pad(ls_cube, ((0, 0), (0, f)))[:, :, None]
-            ls_e = jnp.stack(
-                [row_pick(lcol, cy), row_pick(lcol, r_b)]
-            )[..., 0]                                    # [2, nx]
+                k1, k2 = jax.random.split(key_c)
+                draw_g = jnp.clip(
+                    jax.random.cauchy(k1, (ny, nx, L), dtype=jnp.float32),
+                    -1e3, 1e3)
+                logu_g = jnp.log(jax.random.uniform(
+                    k2, (ny, nx), dtype=jnp.float32, minval=1e-37))
+                draw = jax.lax.dynamic_slice_in_dim(
+                    draw_g, jnp.asarray(dev * nyl, jnp.int32), nyl, axis=0)
+                logu = jax.lax.dynamic_slice_in_dim(
+                    logu_g, jnp.asarray(dev * nyl, jnp.int32), nyl, axis=0)
 
-            # global-grid draws, sliced to MY two edge rows (every shard
-            # draws the same tensors — N-shard == 1-shard, module docstring)
-            k1, k2 = jax.random.split(key_e)
-            draw_g = jnp.clip(
-                jax.random.cauchy(k1, (ny, nx, L), dtype=jnp.float32),
-                -1e3, 1e3,
-            )
-            logu_g = jnp.log(jax.random.uniform(
-                k2, (ny, nx), dtype=jnp.float32, minval=1e-37))
-            rows2 = jnp.stack([dev * nyl, (dev + 1) * nyl - 1])
-            draw = draw_g[rows2]                         # [2, nx, L]
-            logu = logu_g[rows2]
-
-            jumps = jnp.exp(ls_e)[..., None] * draw * valid_e[..., None]
-            g = sm._lsf_apply_lastaxis(jumps, lsf)       # [2, nx, L]
-            dchi = jnp.einsum("ejl,ejl->ej", g * g, quad_e,
-                              precision=jax.lax.Precision.HIGHEST
-                              ) - 2.0 * jnp.einsum(
-                "ejl,ejl->ej", g, lin,
-                precision=jax.lax.Precision.HIGHEST)
-            accept = (logu < -0.5 * dchi) & (valid_e > 0)
-            accf = accept.astype(jnp.float32)
-            gacc = g * accf[..., None]
-
-            # commit both edge patches into the window residual
-            gpad = jnp.pad(gacc, ((0, 0), (0, 0), (0, Lp - L)))
-            delta = jnp.einsum(
-                "ejl,abl->eajbl", gpad, fsf_lanes,
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(2, f, nx * f, Lp)
-            cur_t = jax.lax.dynamic_slice(
-                resid_w, (sm._i32(cy), sm._i32(cx), sm._i32(0)), (f, nx * f, Lp))
-            resid_w = jax.lax.dynamic_update_slice(
-                resid_w, cur_t - delta[0], (sm._i32(cy), sm._i32(cx), sm._i32(0)))
-            cur_b = jax.lax.dynamic_slice(
-                resid_w, (sm._i32(r_b), sm._i32(cx), sm._i32(0)), (f, nx * f, Lp))
-            resid_w = jax.lax.dynamic_update_slice(
-                resid_w, cur_b - delta[1], (sm._i32(r_b), sm._i32(cx), sm._i32(0)))
-
-            # halo strips: canvas rows are window rows [0, 2f-1) (top) and
-            # [(nyl-1)f, Hpl) (bottom); shared rows are [:f-1] / [f:]
-            canvas = jnp.zeros((2, 2 * f - 1, Wpa_g, Lp), jnp.float32)
-            dfull = jnp.zeros((2, f, Wpa_g, Lp), jnp.float32)
-            dfull = jax.lax.dynamic_update_slice(
-                dfull, delta, (sm._i32(0), sm._i32(0), sm._i32(cx), sm._i32(0)))
-            canvas = jax.lax.dynamic_update_slice(
-                canvas, dfull, (sm._i32(0), sm._i32(cy), sm._i32(0), sm._i32(0)))
-            strip_top = canvas[0, : f - 1]
-            strip_bot = canvas[1, f:]
-            from_prev, from_next = _ppermute_strips(
-                strip_top, strip_bot, axis_name)
-            topr = resid_w[:halo] - from_prev
-            botr = resid_w[BYl:Hpl] - from_next
-            resid_w = jax.lax.dynamic_update_slice_in_dim(
-                resid_w, topr, 0, axis=0)
-            resid_w = jax.lax.dynamic_update_slice_in_dim(
-                resid_w, botr, BYl, axis=0)
-
-            # clean + adaptive scale at the two rows
-            jacc = (jumps * accf[..., None]).astype(clean.dtype)
-
-            def upd_row(cl, r, vals):                    # vals [nx, L]
+                jumps = jnp.exp(ls_c)[..., None] * draw * valid_c[..., None]
+                g = sm._lsf_apply_lastaxis(jumps, lsf)
+                dchi = jnp.einsum("ijl,ijl->ij", g * g, quad_c,
+                                  precision=jax.lax.Precision.HIGHEST
+                                  ) - 2.0 * jnp.einsum(
+                    "ijl,ijl->ij", g, lin,
+                    precision=jax.lax.Precision.HIGHEST)
+                accept = (logu < -0.5 * dchi) & (valid_c > 0)
+                accf = accept.astype(jnp.float32)
+                gacc = jnp.pad(
+                    g * accf[..., None], ((0, 0), (0, 0), (0, Lp - L)))
+                delta = jnp.einsum(
+                    "ijl,abl->iajbl", gacc, fsf_lanes,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(BYl, nx * f, Lp)
                 cur = jax.lax.dynamic_slice(
-                    cl, (sm._i32(0), sm._i32(r), sm._i32(cx)), (L, 1, (nx - 1) * f + 1))
-                new = cur.at[:, 0, ::f].add(jnp.moveaxis(vals, -1, 0))
-                return jax.lax.dynamic_update_slice(cl, new, (sm._i32(0), sm._i32(r), sm._i32(cx)))
+                    resid_w, (sm._i32(cy), sm._i32(cx), sm._i32(0)),
+                    (BYl, nx * f, Lp))
+                resid_w = jax.lax.dynamic_update_slice(
+                    resid_w, cur - delta,
+                    (sm._i32(cy), sm._i32(cx), sm._i32(0)))
 
-            clean = upd_row(clean, cy, jacc[0])
-            clean = upd_row(clean, r_b, jacc[1])
-            new_ls = ls_e + adapt_t * jnp.where(
-                valid_e > 0, accf - target, 0.0)
+                jacc = (jumps * accf[..., None]).astype(clean.dtype)
+                clean_c = sm._color_slice(clean, cy, cx, nyl, nx, f)
+                clean = sm._color_update(
+                    clean, clean_c + jnp.moveaxis(jacc, -1, 0),
+                    cy, cx, nyl, nx, f)
+                scale_c = sm._color_slice(ls_cube, cy, cx, nyl, nx, f)
+                ls_cube = sm._color_update(
+                    ls_cube,
+                    scale_c + adapt_t * jnp.where(
+                        valid_c > 0, accf - target, 0.0),
+                    cy, cx, nyl, nx, f)
 
-            def upd_ls(lsc, r, vals):
-                cur = jax.lax.dynamic_slice(
-                    lsc, (sm._i32(r), sm._i32(cx)), (1, (nx - 1) * f + 1))
-                new = cur.at[0, ::f].set(vals)
-                return jax.lax.dynamic_update_slice(lsc, new, (sm._i32(r), sm._i32(cx)))
+                dchi_tot = jax.lax.psum(
+                    jnp.sum(jnp.where(accept, dchi, 0.0),
+                            dtype=jnp.float32), axis_name)
+                y = dchi_tot - chi2c
+                t = chi2 + y
+                chi2c = (t - chi2) - y
+                chi2 = t
+                acc = acc + jax.lax.psum(
+                    jnp.sum(accf, dtype=jnp.float32), axis_name)
+                nprop = nprop + jax.lax.psum(
+                    jnp.sum(valid_c, dtype=jnp.float32), axis_name)
+                return (resid_w, clean, ls_cube, chi2, chi2c, acc,
+                        nprop), None
 
-            ls_cube = upd_ls(ls_cube, cy, new_ls[0])
-            ls_cube = upd_ls(ls_cube, r_b, new_ls[1])
-
-            dchi_tot = jax.lax.psum(
-                jnp.sum(jnp.where(accept, dchi, 0.0), dtype=jnp.float32),
-                axis_name)
-            y = dchi_tot - chi2c
-            t = chi2 + y
-            chi2c = (t - chi2) - y
-            chi2 = t
-            acc = acc + jax.lax.psum(
-                jnp.sum(accf, dtype=jnp.float32), axis_name)
-            nprop = nprop + jax.lax.psum(
-                jnp.sum(valid_e, dtype=jnp.float32), axis_name)
-            return (resid_w, clean, ls_cube, chi2, chi2c, acc, nprop), None
-
-        def interior_jnp_step(carry, xs):
-            """Masked all-rows color step on the window layout (test path)."""
-            (resid_w, clean, ls_cube, chi2, chi2c, acc, nprop) = carry
-            color, adapt_t, key_i = xs
-            cy, cx = color // f, color % f
-            slab = jax.lax.dynamic_slice(
-                resid_w, (sm._i32(cy), sm._i32(cx), sm._i32(0)), (BYl, nx * f, Lp))
-            wsl = jax.lax.dynamic_slice(
-                w_w, (sm._i32(cy), sm._i32(cx), sm._i32(0)), (BYl, nx * f, Lp)).astype(jnp.float32)
-            rw = (slab * wsl).reshape(nyl, f, nx, f, Lp)
-            lin = jnp.einsum(
-                "iajbl,abl->ijl", rw, fsf_lanes,
-                precision=jax.lax.Precision.HIGHEST)[..., :L]
-
-            quad_c = _strided_cols(
-                jax.lax.dynamic_slice_in_dim(
-                    quad_w.reshape(nyl, f, Xc + f, Lp)[:, :, :, :],
-                    jnp.asarray(cy, jnp.int32), 1, axis=1,
-                )[:, 0], cx, nx, f,
-            )[..., :L]                                   # [nyl, nx, L]
-            vi = valid_int_l.reshape(nyl, f, Xc)
-            valid_c = _strided_cols(
-                jnp.pad(
-                    jax.lax.dynamic_slice_in_dim(vi, jnp.asarray(cy, jnp.int32), 1, axis=1)[:, 0],
-                    ((0, 0), (0, f)),
-                )[..., None], cx, nx, f,
-            )[..., 0]                                    # [nyl, nx]
-            lsr = ls_cube.reshape(nyl, f, Xc)
-            ls_c = _strided_cols(
-                jnp.pad(
-                    jax.lax.dynamic_slice_in_dim(lsr, jnp.asarray(cy, jnp.int32), 1, axis=1)[:, 0],
-                    ((0, 0), (0, f)),
-                )[..., None], cx, nx, f,
-            )[..., 0]
-
-            k1, k2 = jax.random.split(key_i)
-            draw_g = jnp.clip(
-                jax.random.cauchy(k1, (ny, nx, L), dtype=jnp.float32),
-                -1e3, 1e3)
-            logu_g = jnp.log(jax.random.uniform(
-                k2, (ny, nx), dtype=jnp.float32, minval=1e-37))
-            draw = jax.lax.dynamic_slice_in_dim(
-                draw_g, jnp.asarray(dev * nyl, jnp.int32), nyl, axis=0)
-            logu = jax.lax.dynamic_slice_in_dim(
-                logu_g, jnp.asarray(dev * nyl, jnp.int32), nyl, axis=0)
-
-            jumps = jnp.exp(ls_c)[..., None] * draw * valid_c[..., None]
-            g = sm._lsf_apply_lastaxis(jumps, lsf)
-            dchi = jnp.einsum("ijl,ijl->ij", g * g, quad_c,
-                              precision=jax.lax.Precision.HIGHEST
-                              ) - 2.0 * jnp.einsum(
-                "ijl,ijl->ij", g, lin,
-                precision=jax.lax.Precision.HIGHEST)
-            accept = (logu < -0.5 * dchi) & (valid_c > 0)
-            accf = accept.astype(jnp.float32)
-            gacc = jnp.pad(
-                g * accf[..., None], ((0, 0), (0, 0), (0, Lp - L)))
-            delta = jnp.einsum(
-                "ijl,abl->iajbl", gacc, fsf_lanes,
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(BYl, nx * f, Lp)
-            cur = jax.lax.dynamic_slice(
-                resid_w, (sm._i32(cy), sm._i32(cx), sm._i32(0)), (BYl, nx * f, Lp))
-            resid_w = jax.lax.dynamic_update_slice(
-                resid_w, cur - delta, (sm._i32(cy), sm._i32(cx), sm._i32(0)))
-
-            jacc = (jumps * accf[..., None]).astype(clean.dtype)
-            clean_c = sm._color_slice(clean, cy, cx, nyl, nx, f)
-            clean = sm._color_update(
-                clean, clean_c + jnp.moveaxis(jacc, -1, 0),
-                cy, cx, nyl, nx, f)
-            scale_c = sm._color_slice(ls_cube, cy, cx, nyl, nx, f)
-            ls_cube = sm._color_update(
-                ls_cube,
-                scale_c + adapt_t * jnp.where(
-                    valid_c > 0, accf - target, 0.0),
-                cy, cx, nyl, nx, f)
-
-            dchi_tot = jax.lax.psum(
-                jnp.sum(jnp.where(accept, dchi, 0.0), dtype=jnp.float32),
-                axis_name)
-            y = dchi_tot - chi2c
-            t = chi2 + y
-            chi2c = (t - chi2) - y
-            chi2 = t
-            acc = acc + jax.lax.psum(
-                jnp.sum(accf, dtype=jnp.float32), axis_name)
-            nprop = nprop + jax.lax.psum(
-                jnp.sum(valid_c, dtype=jnp.float32), axis_name)
-            return (resid_w, clean, ls_cube, chi2, chi2c, acc, nprop), None
+            return step
 
         def monitor_vals(clean):
             vals = []
@@ -484,58 +317,128 @@ def run_sweeps_kernel_sharded(
                 vals.append(jnp.where(ok, v, 0.0))
             return jax.lax.psum(jnp.stack(vals), axis_name)
 
-        codes = jnp.arange(n_colors, dtype=jnp.int32)
-
         def sweep(carry, xs):
-            (resid_w, ls_k, ls_cube, clean, chi2, chi2c, sum_clean, sum_sq,
+            (resid_w, ls_state, clean, chi2, chi2c, sum_clean, sum_sq,
              acc0, np0) = carry
             adapt_t, keep_t, a_sweep = xs
-            acc_i = jnp.zeros((), jnp.float32)
-            np_i = jnp.zeros((), jnp.float32)
+            acc_s = jnp.zeros((), jnp.float32)
+            np_s = jnp.zeros((), jnp.float32)
 
-            # ---- interior: all colors, no communication ----
-            if interior == "pallas":
-                carry_k = (resid_w, w_w, ls_k)
-                carry_k, (dclean_cube, accn_g, dchia_g) = (
-                    pt._tiled_segment_arrays(
-                        local_p, carry_k,
-                        adapt_t.reshape(1), seed_sh, a_sweep, 1,
-                    )
-                )
-                resid_w, _, ls_k = carry_k
-                clean = clean + dclean_cube[0].astype(clean.dtype)
-                dchi_tot = jax.lax.psum(
-                    jnp.sum(dchia_g, dtype=jnp.float32), axis_name)
-                y = dchi_tot - chi2c
-                t = chi2 + y
-                chi2c = (t - chi2) - y
-                chi2 = t
-                acc_i = acc_i + jax.lax.psum(
-                    jnp.sum(accn_g, dtype=jnp.float32), axis_name)
-                np_i = np_i + jax.lax.psum(
-                    jnp.sum(valid_int_l, dtype=jnp.float32), axis_name)
-                inner = (resid_w, clean, ls_cube, chi2, chi2c, acc_i, np_i)
-            else:
-                keys_i = jax.vmap(
-                    lambda c: jax.random.fold_in(
+            def run_band(bi, resid_w, ls_state, clean, chi2, chi2c,
+                         acc_s, np_s):
+                name, rows0, nyb, y_base, tile_b = band_geo[bi]
+                if interior == "pallas":
+                    seed_b = jax.random.randint(
                         jax.random.fold_in(
-                            jax.random.fold_in(key, a_sweep), 1), c)
-                )(codes)
-                inner = (resid_w, clean, ls_cube, chi2, chi2c, acc_i, np_i)
-                inner, _ = jax.lax.scan(
-                    interior_jnp_step, inner,
-                    (codes, jnp.full((n_colors,), adapt_t), keys_i))
+                            jax.random.fold_in(key, 17), dev * 8 + bi),
+                        (), 0, np.int32(2**31 - 1),
+                    ).astype(jnp.int32)
+                    local_p = dataclasses.replace(
+                        band_tmpls[bi],
+                        valid=(validf_l * rowmasks[bi][:, None].astype(
+                            validf_l.dtype
+                        ))[rows0 : rows0 + nyb * f] > 0,
+                        quad_tiled=qts[bi][0],
+                        w_pad=jnp.zeros((1, 1, 1), jnp.bfloat16),
+                    )
+                    lsb = ls_state[bi]
+                    carry_k = (resid_w, w_w, lsb)
+                    carry_k, (dcube, accn_g, dchia_g) = (
+                        pt._tiled_segment_arrays(
+                            local_p, carry_k, adapt_t.reshape(1), seed_b,
+                            a_sweep, 1, y_base=y_base,
+                        )
+                    )
+                    resid_w, _, lsb = carry_k
+                    ls_state = tuple(
+                        lsb if j == bi else ls_state[j]
+                        for j in range(len(band_geo))
+                    )
+                    clean = clean.at[
+                        :, rows0 : rows0 + nyb * f, :
+                    ].add(dcube[0].astype(clean.dtype))
+                    dchi_tot = jax.lax.psum(
+                        jnp.sum(dchia_g, dtype=jnp.float32), axis_name)
+                    y = dchi_tot - chi2c
+                    t = chi2 + y
+                    chi2c = (t - chi2) - y
+                    chi2 = t
+                    acc_s = acc_s + jax.lax.psum(
+                        jnp.sum(accn_g, dtype=jnp.float32), axis_name)
+                    np_s = np_s + jax.lax.psum(
+                        jnp.sum(
+                            validf_l[rows0 : rows0 + nyb * f],
+                            dtype=jnp.float32,
+                        ),
+                        axis_name)
+                else:
+                    keys_c = jax.vmap(
+                        lambda c, b=bi: jax.random.fold_in(
+                            jax.random.fold_in(
+                                jax.random.fold_in(key, a_sweep), b), c)
+                    )(codes)
+                    step = jnp_color_step(
+                        rowmasks[bi][:, None].astype(validf_l.dtype)
+                    )
+                    inner = (resid_w, clean, ls_state, chi2, chi2c,
+                             acc_s, np_s)
+                    inner, _ = jax.lax.scan(
+                        step, inner,
+                        (codes, jnp.full((n_colors,), adapt_t), keys_c))
+                    (resid_w, clean, ls_state, chi2, chi2c, acc_s,
+                     np_s) = inner
+                return resid_w, ls_state, clean, chi2, chi2c, acc_s, np_s
 
-            # ---- edges: per-color jnp step + halo strip exchange ----
-            keys_e = jax.vmap(
-                lambda c: jax.random.fold_in(
-                    jax.random.fold_in(
-                        jax.random.fold_in(key, a_sweep), 2), c)
-            )(codes)
-            inner, _ = jax.lax.scan(
-                edge_color_step, inner,
-                (codes, jnp.full((n_colors,), adapt_t), keys_e))
-            (resid_w, clean, ls_cube, chi2, chi2c, acc_s, np_s) = inner
+            n_bands = len(band_geo)
+            i_top, i_bot = 0, n_bands - 1
+            # interior first (never touches shared rows)
+            if n_bands == 3:
+                (resid_w, ls_state, clean, chi2, chi2c, acc_s,
+                 np_s) = run_band(1, resid_w, ls_state, clean, chi2,
+                                  chi2c, acc_s, np_s)
+            # tops: interact only with neighbours' (deferred) bottoms
+            old_top = resid_w[:halo]
+            (resid_w, ls_state, clean, chi2, chi2c, acc_s,
+             np_s) = run_band(i_top, resid_w, ls_state, clean, chi2,
+                              chi2c, acc_s, np_s)
+            if ndev > 1:
+                # my head-strip delta belongs on prev's tail replicas
+                d_top = old_top - resid_w[:halo]
+                from_next = jax.lax.ppermute(
+                    d_top, axis_name,
+                    [(i, (i - 1) % ndev) for i in range(ndev)])
+                from_next = jnp.where(
+                    dev == ndev - 1, jnp.zeros_like(from_next), from_next)
+                resid_w = jax.lax.dynamic_update_slice_in_dim(
+                    resid_w, resid_w[BYl:Hpl] - from_next, BYl, axis=0)
+            # bottoms: see neighbours' tops via the exchange above
+            old_bot = resid_w[BYl:Hpl]
+            (resid_w, ls_state, clean, chi2, chi2c, acc_s,
+             np_s) = run_band(i_bot, resid_w, ls_state, clean, chi2,
+                              chi2c, acc_s, np_s)
+            if ndev > 1:
+                d_bot = old_bot - resid_w[BYl:Hpl]
+                from_prev = jax.lax.ppermute(
+                    d_bot, axis_name,
+                    [(i, (i + 1) % ndev) for i in range(ndev)])
+                from_prev = jnp.where(
+                    dev == 0, jnp.zeros_like(from_prev), from_prev)
+                resid_w = jax.lax.dynamic_update_slice_in_dim(
+                    resid_w, resid_w[:halo] - from_prev, 0, axis=0)
+                # refresh tail replicas from the owners' FINAL head rows:
+                # the lumped strip deltas above land within a rounding ulp
+                # of the owner's per-color op sequence, so without this the
+                # replicas drift off the owners and a checkpoint/reshard
+                # boundary (which rebuilds replicas from owners) would not
+                # be bit-exact.  The last shard's tail rows are the true
+                # global pad region — it keeps its own values.
+                heads = jax.lax.ppermute(
+                    resid_w[:halo], axis_name,
+                    [(i, (i - 1) % ndev) for i in range(ndev)])
+                tails = jnp.where(
+                    dev == ndev - 1, resid_w[BYl:Hpl], heads)
+                resid_w = jax.lax.dynamic_update_slice_in_dim(
+                    resid_w, tails, BYl, axis=0)
 
             kc = keep_t.astype(clean.dtype)
             sum_clean = sum_clean + kc * clean
@@ -546,43 +449,59 @@ def run_sweeps_kernel_sharded(
                         dtype=jnp.float32), axis_name)
             trace = (chi2, acc_s / jnp.maximum(np_s, 1.0), flux,
                      monitor_vals(clean))
-            return (resid_w, ls_k, ls_cube, clean, chi2, chi2c, sum_clean,
+            return (resid_w, ls_state, clean, chi2, chi2c, sum_clean,
                     sum_sq, acc0 + acc_s, np0 + np_s), trace
 
-        ls_k = pt._tiled_color_layout(ls_cube, nyl, nx, f, ny_t, nx_t)
-        init = (resid_w, ls_k, ls_cube, clean, chi2, chi2c, sum_clean,
+        if interior == "pallas":
+            ls_state0 = tuple(
+                pt._tiled_color_layout(
+                    ls_cube[rows0 : rows0 + nyb * f], nyb, nx, f,
+                    tile_b[0], tile_b[1],
+                )
+                for (name, rows0, nyb, y_base, tile_b) in band_geo
+            )
+        else:
+            ls_state0 = ls_cube
+        init = (resid_w, ls_state0, clean, chi2, chi2c, sum_clean,
                 sum_sq, jnp.zeros((), jnp.float32),
                 jnp.zeros((), jnp.float32))
-        (resid_w, ls_k, ls_cube, clean, chi2, chi2c, sum_clean, sum_sq,
+        (resid_w, ls_state, clean, chi2, chi2c, sum_clean, sum_sq,
          acc, nprop), (chi2_t, acc_t, flux_t, mon_t) = jax.lax.scan(
             sweep, init, (adapt, keep, sweep0 + jnp.arange(
                 n_sweeps, dtype=jnp.int32)))
 
-        # merge log-scales: interior rows from the kernel layout, edge rows
-        # from the cube layout (they are disjoint row sets)
         if interior == "pallas":
-            from ..ops.pallas_sweep import _from_color_layout
-
-            ls_int = _from_color_layout(
-                pt._tiled_color_unlayout(ls_k, nyl, nx, f, ny_t, nx_t),
-                nyl, nx, f,
+            ls_cube = jnp.concatenate(
+                [
+                    _from_color_layout(
+                        pt._tiled_color_unlayout(
+                            ls_state[bi], nyb, nx, f, tile_b[0], tile_b[1]
+                        ),
+                        nyb, nx, f,
+                    )
+                    for bi, (name, rows0, nyb, y_base, tile_b)
+                    in enumerate(band_geo)
+                ],
+                axis=0,
             )
-            rowmask = jnp.asarray(
-                interior_rows[:BYl], jnp.bool_)[:, None]
-            ls_cube = jnp.where(rowmask, ls_int, ls_cube)
+        else:
+            ls_cube = ls_state
         return (resid_w, ls_cube, clean, sum_clean, sum_sq, chi2, chi2c,
                 acc, nprop, chi2_t, acc_t, flux_t, mon_t)
 
     sharded = jax.jit(functools.partial(
         jax.shard_map,
         mesh=mesh,
+        # pallas_call's out_shapes carry no varying-mesh-axes annotation;
+        # disable the vma check (the jnp test path passes it, the pallas
+        # path cannot)
+        check_vma=False,
         in_specs=(
             P(axis_name, None, None),   # resid_w  [ndev·Hpl, Wpa, Lp]
             P(axis_name, None, None),   # w_w
             P(axis_name, None, None),   # quad_w
-            P(axis_name, None, None, None),  # quad_tiled stacked
+            tuple(P(axis_name, None, None, None) for _ in band_geo),
             spec_yx,                    # validf
-            spec_yx,                    # valid_int (float)
             spec_cl,                    # clean
             spec_yx,                    # ls
             spec_cl,                    # sum_clean
@@ -599,10 +518,77 @@ def run_sweeps_kernel_sharded(
         ),
     )(_program))
 
+    consts = (w_w0, quad_w0, tuple(qt_stacks), validf)
+    return sharded, consts, Wpa_g
+
+
+def run_sweeps_kernel_sharded(
+    problem: sm.Problem,
+    state: sm.SamplerState,
+    n_sweeps: int,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    interior: str | None = None,
+) -> sm.ChainResult:
+    """Run ``n_sweeps`` of ONE chain Y-sharded over ``mesh`` at kernel rate.
+
+    ``problem`` must be built with ``sampler='mh'`` on a kernel engine
+    (low-rank FSF factors present).  ``interior`` selects the band engine:
+    'pallas' (default on TPU — the fused tiled kernel per band) or 'jnp'
+    (masked jnp color steps; the CPU-mesh test path).  Input/output state
+    uses the standard single-device layout.
+    """
+    p = problem
+    cfg = p.config
+    if cfg.sampler != "mh":
+        raise ValueError(
+            "run_sweeps_kernel_sharded supports sampler='mh' (the bands "
+            "and the tiled kernel share its proposal algebra); use "
+            "parallel.sweep_sharded for other modes."
+        )
+    if cfg.positivity:
+        raise ValueError("positivity is not supported on this path")
+    if p.fsf_spec is None:
+        raise ValueError(
+            "problem lacks low-rank FSF factors — build it with "
+            "engine='pallas_tiled' (or 'pallas')"
+        )
+    if interior is None:
+        interior = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    ndev = mesh.shape[axis_name]
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    if ny % ndev:
+        raise ValueError(
+            f"ny={ny} color-rows must be divisible by the mesh size {ndev}"
+        )
+    nyl = ny // ndev
+    if nyl < 2:
+        raise ValueError(f"need ≥2 block-rows per shard (ny={ny}, D={ndev})")
+    Lp = _pad_lanes(L)
+    dtype = cfg.dtype
+
+    ckey = (id(p), mesh, axis_name, int(n_sweeps), interior)
+    if ckey not in _PROGRAM_CACHE:
+        _PROGRAM_CACHE[ckey] = _build_program(
+            p, mesh, axis_name, int(n_sweeps), interior
+        )
+        weakref.finalize(p.config, _PROGRAM_CACHE.pop, ckey, None)
+    sharded, consts, Wpa_g = _PROGRAM_CACHE[ckey]
+    (w_w0, quad_w0, qt_stacks, validf) = consts
+
+    resid_ov = overlap_shard(state.resid.astype(jnp.float32), f, ndev)
+    resid_w0 = pt._cube_to_window_layout(resid_ov, Wpa_g, Lp)
+
+    idx_sw = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
+    adapt = sm.adapt_schedule(idx_sw, cfg)
+    burn = cfg.resolved_burn_in()
+    keep = jnp.where(
+        (idx_sw >= burn) & ((idx_sw - burn) % cfg.keep_one_in == 0), 1.0, 0.0
+    ).astype(jnp.float32)
+
     (resid_w_out, ls_out, clean, sum_clean, sum_sq, chi2, chi2c, acc,
      nprop, chi2_t, acc_t, flux_t, mon_t) = sharded(
-        resid_w0, w_w0, quad_w0, quad_tiled_st,
-        validf, valid_int.astype(dtype),
+        resid_w0, w_w0, quad_w0, qt_stacks, validf,
         state.clean, state.log_scale.astype(jnp.float32), state.sum_clean,
         state.sum_sq, state.key, state.chi2, state.chi2_comp, adapt, keep,
         state.sweep,
