@@ -290,7 +290,7 @@ def multichain_case(n_chains=8, sampler="mh", n_sweeps=100):
     return ok
 
 
-def kernel_sharded_case(L=512, Y=60, X=60, n_timed=32):
+def kernel_sharded_case(L=512, Y=60, X=60, n_timed=32, sampler="mh"):
     """Kernel-rate sharded sweep (parallel/kernel_sharded.py), single-shard
     degenerate case on the real chip: pallas interior + jnp edge pass +
     (self-)halo exchange.  Checks the invariant, chi² consistency,
@@ -319,7 +319,7 @@ def kernel_sharded_case(L=512, Y=60, X=60, n_timed=32):
     )
     cfg = sm.RunConfig(
         max_iterations=200, burn_in=50, seed=3, fsf_size=9, lsf_width=7,
-        engine="pallas_tiled",
+        engine="pallas_tiled", sampler=sampler,
     )
     p = sm.make_problem(cube, inst, cfg)
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
@@ -346,7 +346,7 @@ def kernel_sharded_case(L=512, Y=60, X=60, n_timed=32):
     inv_err = np.abs(np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]).max()
     chi_r, chi_f = float(st.chi2), float(sm.full_chi2(p, st))
     ok = check(
-        f"kernel-sharded invariant  L={L} {Y}x{X} 1-shard",
+        f"kernel-sharded invariant  L={L} {Y}x{X} 1-shard {sampler}",
         inv_err / scale < 3e-5 and abs(chi_r - chi_f) / max(chi_f, 1.0) < 2e-5,
         f"resid_err={inv_err:.2e} chi2_rel={(chi_r - chi_f) / chi_f:+.2e} "
         f"acc={float(st.n_accept):.0f}",
@@ -360,6 +360,8 @@ def kernel_sharded_case(L=512, Y=60, X=60, n_timed=32):
         bool(jnp.array_equal(r1.state.clean, r2b.state.clean)),
     )
 
+    if sampler != "mh":
+        return ok
     # unsharded tiled engine, production segmenting — the rate baseline
     ru = sm.run_sweeps(p, sm.init_state(p), n_timed)
     jax.block_until_ready(ru.state.clean)
@@ -432,6 +434,7 @@ def main():
                            sampler="gibbs")
     # ---- kernel-rate sharded sweep (single-shard degenerate on-chip) ----
     ok &= kernel_sharded_case()
+    ok &= kernel_sharded_case(L=128, Y=40, X=40, n_timed=8, sampler="gibbs")
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 

@@ -657,8 +657,17 @@ _MAX_SEGMENT = 128
 
 
 def max_chain_batch(problem: sm.Problem, n_chains: int) -> int:
-    """Largest kernel chain-batch (divisor of n_chains, ≤8) that fits VMEM."""
-    for cb in (8, 4, 2, 1):
+    """Kernel chain-batch (divisor of n_chains) that maximises aggregate rate.
+
+    gibbs amortises its heavier per-color ALU across the batch (r2: 4-batch
+    = 1.59× the single-chain aggregate), so it takes the largest batch that
+    fits VMEM.  MH is ALU-light — its marginal chain cost ≈ the full
+    single-chain cost — and larger batches only add VMEM pressure and
+    shorter segments (measured on MUSE 30×30×600, 32 chains: cb=4 → 888,
+    cb=2 → 1043, cb=1 → 1030 chain-sweeps/s), so MH caps at 2.
+    """
+    sizes = (8, 4, 2, 1) if problem.config.sampler == "gibbs" else (2, 1)
+    for cb in sizes:
         if n_chains % cb:
             continue
         need = segment_vmem_bytes(

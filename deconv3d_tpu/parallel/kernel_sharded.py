@@ -128,6 +128,18 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
         p.quad if p.quad is not None
         else sm._quad_conv(w_pad, np.asarray(p.fsf), dtype)
     )
+    qvox_g = None
+    if cfg.sampler == "gibbs":
+        # per-voxel conditional precision in cube layout (the tiled-gibbs
+        # problem dropped it after its own global relayout)
+        from ..ops import banded
+
+        qvox_g = jnp.moveaxis(
+            banded.precision_bands(
+                p.lsf.astype(dtype), jnp.moveaxis(quad_g, 0, -1)
+            )[..., 0],
+            -1, 0,
+        ).astype(dtype)
     w_ov = overlap_shard(w_pad, f, ndev)
     w_w0 = pt._cube_to_window_layout(w_ov, Wpa_g, Lp).astype(jnp.bfloat16)
 
@@ -137,19 +149,24 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
         jnp.moveaxis(quad_g.astype(jnp.float32), 0, -1),
         ((0, 0), (0, f), (0, Lp - L)),
     )
-    # per-(band, shard) quad_tiled stacks for the kernels
-    qt_stacks = []
-    for name, rows0, nyb, y_base, (ny_t, nx_t) in band_geo:
-        parts = [
-            pt.tiled_quad_layout(
-                jax.lax.dynamic_slice_in_dim(
-                    quad_g, d * BYl + rows0, nyb * f, axis=1
-                ),
-                nyb, nx, f, ny_t, nx_t, L, Lp,
-            )
-            for d in range(ndev)
-        ]
-        qt_stacks.append(jnp.concatenate([q[None] for q in parts], axis=0))
+    # per-(band, shard) quad_tiled (and qvox_tiled for gibbs) stacks
+    def _band_stacks(src_g):
+        out = []
+        for name, rows0, nyb, y_base, (ny_t, nx_t) in band_geo:
+            parts = [
+                pt.tiled_quad_layout(
+                    jax.lax.dynamic_slice_in_dim(
+                        src_g, d * BYl + rows0, nyb * f, axis=1
+                    ),
+                    nyb, nx, f, ny_t, nx_t, L, Lp,
+                )
+                for d in range(ndev)
+            ]
+            out.append(jnp.concatenate([q[None] for q in parts], axis=0))
+        return out
+
+    qt_stacks = _band_stacks(quad_g)
+    qv_stacks = _band_stacks(qvox_g) if qvox_g is not None else qt_stacks
 
     validf = p.valid.astype(dtype)                      # [Yc, Xc]
     fsf_lanes = jnp.pad(
@@ -181,7 +198,7 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
     # ------------------------------------------------------------------
     # the shard program
     # ------------------------------------------------------------------
-    def _program(resid_w, w_w, quad_w, qts, valid_l, clean, ls_cube,
+    def _program(resid_w, w_w, quad_w, qts, qvs, valid_l, clean, ls_cube,
                  sum_clean, sum_sq, key, chi2, chi2c, adapt, keep, sweep0):
         dev = jax.lax.axis_index(axis_name)
         validf_l = valid_l                               # [BYl, Xc] float
@@ -339,6 +356,9 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
                             validf_l.dtype
                         ))[rows0 : rows0 + nyb * f] > 0,
                         quad_tiled=qts[bi][0],
+                        qvox_tiled=(
+                            qvs[bi][0] if cfg.sampler == "gibbs" else None
+                        ),
                         w_pad=jnp.zeros((1, 1, 1), jnp.bfloat16),
                     )
                     lsb = ls_state[bi]
@@ -363,14 +383,18 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
                     t = chi2 + y
                     chi2c = (t - chi2) - y
                     chi2 = t
-                    acc_s = acc_s + jax.lax.psum(
+                    acc_inc = jax.lax.psum(
                         jnp.sum(accn_g, dtype=jnp.float32), axis_name)
-                    np_s = np_s + jax.lax.psum(
-                        jnp.sum(
-                            validf_l[rows0 : rows0 + nyb * f],
-                            dtype=jnp.float32,
-                        ),
-                        axis_name)
+                    acc_s = acc_s + acc_inc
+                    np_s = np_s + (
+                        acc_inc if cfg.sampler == "gibbs"
+                        else jax.lax.psum(
+                            jnp.sum(
+                                validf_l[rows0 : rows0 + nyb * f],
+                                dtype=jnp.float32,
+                            ),
+                            axis_name)
+                    )
                 else:
                     keys_c = jax.vmap(
                         lambda c, b=bi: jax.random.fold_in(
@@ -501,6 +525,7 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
             P(axis_name, None, None),   # w_w
             P(axis_name, None, None),   # quad_w
             tuple(P(axis_name, None, None, None) for _ in band_geo),
+            tuple(P(axis_name, None, None, None) for _ in band_geo),
             spec_yx,                    # validf
             spec_cl,                    # clean
             spec_yx,                    # ls
@@ -518,7 +543,7 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
         ),
     )(_program))
 
-    consts = (w_w0, quad_w0, tuple(qt_stacks), validf)
+    consts = (w_w0, quad_w0, tuple(qt_stacks), tuple(qv_stacks), validf)
     return sharded, consts, Wpa_g
 
 
@@ -540,10 +565,10 @@ def run_sweeps_kernel_sharded(
     """
     p = problem
     cfg = p.config
-    if cfg.sampler != "mh":
+    if cfg.sampler not in ("mh", "gibbs"):
         raise ValueError(
-            "run_sweeps_kernel_sharded supports sampler='mh' (the bands "
-            "and the tiled kernel share its proposal algebra); use "
+            "run_sweeps_kernel_sharded supports sampler='mh' and 'gibbs' "
+            "(the band kernels carry both modes); use "
             "parallel.sweep_sharded for other modes."
         )
     if cfg.positivity:
@@ -555,6 +580,11 @@ def run_sweeps_kernel_sharded(
         )
     if interior is None:
         interior = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if cfg.sampler == "gibbs" and interior == "jnp":
+        raise ValueError(
+            "the jnp band stand-in implements the mh step only; gibbs "
+            "kernel-sharding needs the pallas interior (run on TPU)"
+        )
     ndev = mesh.shape[axis_name]
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
     if ny % ndev:
@@ -574,7 +604,7 @@ def run_sweeps_kernel_sharded(
         )
         weakref.finalize(p.config, _PROGRAM_CACHE.pop, ckey, None)
     sharded, consts, Wpa_g = _PROGRAM_CACHE[ckey]
-    (w_w0, quad_w0, qt_stacks, validf) = consts
+    (w_w0, quad_w0, qt_stacks, qv_stacks, validf) = consts
 
     resid_ov = overlap_shard(state.resid.astype(jnp.float32), f, ndev)
     resid_w0 = pt._cube_to_window_layout(resid_ov, Wpa_g, Lp)
@@ -588,7 +618,7 @@ def run_sweeps_kernel_sharded(
 
     (resid_w_out, ls_out, clean, sum_clean, sum_sq, chi2, chi2c, acc,
      nprop, chi2_t, acc_t, flux_t, mon_t) = sharded(
-        resid_w0, w_w0, quad_w0, qt_stacks, validf,
+        resid_w0, w_w0, quad_w0, qt_stacks, qv_stacks, validf,
         state.clean, state.log_scale.astype(jnp.float32), state.sum_clean,
         state.sum_sq, state.key, state.chi2, state.chi2_comp, adapt, keep,
         state.sweep,

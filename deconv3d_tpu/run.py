@@ -105,20 +105,29 @@ class Run:
                 "spatial_mesh shards ONE chain over devices; combine with "
                 "n_chains=1 (chain parallelism uses `mesh` instead)."
             )
+        self._spatial_kernel = False
         if spatial_mesh is not None and engine != "jnp":
-            # The sharded sweep re-implements the color step in plain jnp
-            # inside shard_map and consumes problem.quad, which the
-            # pallas_tiled engine drops (it pre-relayouts quad per tile).
-            # Force the jnp engine up front: quad stays built, and the user
-            # learns the sharded sweep runs at jnp rate instead of silently
-            # degrading (VERDICT r2 weak #2).
-            if engine in ("pallas", "pallas_tiled"):
-                logger.warning(
-                    "spatial_mesh runs the jnp color step inside shard_map; "
-                    "engine=%r is ignored (fused-kernel sharded sweeps are "
-                    "not supported — expect jnp-engine throughput)", engine,
-                )
-            engine = "jnp"
+            if sampler in ("mh", "gibbs") and not positivity:
+                # kernel-rate sharded sampling (parallel/kernel_sharded.py):
+                # the fused tiled kernel runs per shard, only the
+                # shard-boundary rows take the jnp edge pass.  Requires a
+                # kernel-engine problem (low-rank FSF factors).
+                self._spatial_kernel = True
+            else:
+                # Other sampler modes shard via the jnp color step inside
+                # shard_map (parallel/sweep_sharded.py), which consumes the
+                # cube-layout quad that the pallas_tiled engine drops —
+                # force the jnp engine up front: quad stays built, and the
+                # user learns the sharded sweep runs at jnp rate instead
+                # of silently degrading (VERDICT r2 weak #2).
+                if engine in ("pallas", "pallas_tiled"):
+                    logger.warning(
+                        "spatial_mesh with sampler=%r runs the jnp color "
+                        "step inside shard_map; engine=%r is ignored "
+                        "(kernel-rate sharded sweeps exist for "
+                        "sampler='mh' only)", sampler, engine,
+                    )
+                engine = "jnp"
         self.min_acceptance_rate = min_acceptance_rate
         self.segment_size = segment_size
         self.metrics_path = metrics_path
@@ -169,9 +178,18 @@ class Run:
             n = min(seg, total - done)
             t0 = time.time()
             if self.spatial_mesh is not None:
-                from .parallel.sweep_sharded import run_sweeps_sharded
+                if self._spatial_kernel and self.problem.fsf_spec is not None:
+                    from .parallel.kernel_sharded import (
+                        run_sweeps_kernel_sharded as _sharded_sweeps,
+                    )
+                else:
+                    # jnp engine (CPU, or non-mh samplers): the plain
+                    # shard_map color step
+                    from .parallel.sweep_sharded import (
+                        run_sweeps_sharded as _sharded_sweeps,
+                    )
 
-                res = run_sweeps_sharded(
+                res = _sharded_sweeps(
                     self.problem,
                     jax.tree_util.tree_map(lambda x: x[0], self.states),
                     n, self.spatial_mesh,

@@ -199,10 +199,11 @@ def test_run_facade_spatial_mesh(rng):
     assert r_shd.sweeps_done == 10
 
 
-def test_run_facade_spatial_mesh_forces_jnp_engine(rng, monkeypatch):
-    """spatial_mesh + a kernel engine: Run must step down to jnp (keeping
-    quad) instead of crashing on quad=None or silently degrading
-    (VERDICT r2 weak #2 / ADVICE r2 medium)."""
+def test_run_facade_spatial_mesh_engine_resolution(rng, monkeypatch):
+    """spatial_mesh × engine (VERDICT r2 weak #2 / ADVICE r2 medium):
+    sampler='mh' keeps the kernel engine and routes to the kernel-rate
+    sharded sweep; other samplers step down to jnp (keeping quad) instead
+    of crashing on quad=None or silently degrading."""
     from deconv3d_tpu import Run
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -213,11 +214,39 @@ def test_run_facade_spatial_mesh_forces_jnp_engine(rng, monkeypatch):
                           crval=4750.0, cdelt=1.25)
     inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.5),
                           lsf=ins.GaussianLSF(fwhm=2.0))
-    for eng in ("auto", "pallas", "pallas_tiled"):
-        r = Run(cube, inst, spatial_mesh=4, engine=eng,
-                max_iterations=4, fsf_size=f, lsf_width=5)
-        assert r.problem.config.engine == "jnp", eng
-        assert r.problem.quad is not None, eng
+    # mh/gibbs: kernel-rate path (engine kept, low-rank factors present)
+    for smp in ("mh", "gibbs"):
+        r = Run(cube, inst, spatial_mesh=4, engine="pallas_tiled",
+                sampler=smp, max_iterations=4, fsf_size=f, lsf_width=5)
+        assert r._spatial_kernel and r.problem.fsf_spec is not None, smp
+        assert r.problem.config.engine == "pallas_tiled", smp
+    # unsupported modes: jnp step-down, quad kept
+    for smp, kw in (("gibbs_block", {}), ("mh", {"positivity": True})):
+        r = Run(cube, inst, spatial_mesh=4, engine="auto", sampler=smp,
+                max_iterations=4, fsf_size=f, lsf_width=5, **kw)
+        assert r.problem.config.engine == "jnp", smp
+        assert r.problem.quad is not None, smp
+
+
+def test_run_facade_spatial_mesh_kernel_rate_end_to_end(rng):
+    """Run(spatial_mesh) on an mh kernel-engine problem drives the
+    kernel-rate sharded sweep (jnp interior stand-in on CPU)."""
+    from deconv3d_tpu import Run
+
+    f, L = 5, 16
+    Y, X = 4 * f, 2 * f
+    truth = rng.standard_normal((L, Y, X)).astype(np.float32)
+    cube = Cube.from_data(truth, variance=np.ones_like(truth),
+                          crval=4750.0, cdelt=1.25)
+    inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.5),
+                          lsf=ins.GaussianLSF(fwhm=2.0))
+    r = Run(cube, inst, spatial_mesh=2, engine="pallas_tiled",
+            max_iterations=4, burn_in=1, fsf_size=f, lsf_width=5)
+    assert r._spatial_kernel
+    r.run()
+    assert r.sweeps_done == 4
+    assert np.isfinite(r.chi2)
+    assert float(np.asarray(r.states.n_accept).sum()) > 0
 
 
 def test_sharded_sweep_rejects_tiled_problem(rng, monkeypatch):
