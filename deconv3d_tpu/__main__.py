@@ -47,6 +47,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-variance", action="store_true",
                    help="skip the posterior-variance accumulator (saves "
                         "~2 cubes of HBM on huge fields)")
+    p.add_argument("--coarse-every", type=int, default=None,
+                   help="interleave a coarse pattern pass every N sweeps "
+                        "(spatial mixing accelerator; ops/coarse.py)")
+    p.add_argument("--coarse-mode",
+                   choices=["global", "soft", "block", "mixed"],
+                   default="global")
 
 
 def _build_instrument(args):
@@ -74,6 +80,7 @@ def cmd_run(args) -> int:
         engine=args.engine, positivity=args.positivity,
         initial=args.initial, spatial_mesh=args.spatial_shards,
         track_variance=not args.no_variance,
+        coarse_every=args.coarse_every, coarse_mode=args.coarse_mode,
         checkpoint_path=args.checkpoint, metrics_path=args.metrics,
     )
     run.run()
