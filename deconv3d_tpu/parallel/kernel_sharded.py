@@ -143,12 +143,16 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
     w_ov = overlap_shard(w_pad, f, ndev)
     w_w0 = pt._cube_to_window_layout(w_ov, Wpa_g, Lp).astype(jnp.bfloat16)
 
-    # quad in window-lane layout [Yc, Xc+f, Lp] (cols padded for strides;
-    # only the jnp test path reads it)
-    quad_w0 = jnp.pad(
-        jnp.moveaxis(quad_g.astype(jnp.float32), 0, -1),
-        ((0, 0), (0, f), (0, Lp - L)),
-    )
+    # quad in window-lane layout [Yc, Xc+f, Lp] (cols padded for strides);
+    # ONLY the jnp test path reads it — the pallas path gets a dummy so a
+    # full-field run does not hold a second ~1.5 GB quad copy
+    if interior == "jnp":
+        quad_w0 = jnp.pad(
+            jnp.moveaxis(quad_g.astype(jnp.float32), 0, -1),
+            ((0, 0), (0, f), (0, Lp - L)),
+        )
+    else:
+        quad_w0 = jnp.zeros((ndev, 1, 1), jnp.float32)
     # per-(band, shard) quad_tiled (and qvox_tiled for gibbs) stacks
     def _band_stacks(src_g):
         out = []
