@@ -50,6 +50,30 @@ def precision_bands(lsf: jax.Array, q: jax.Array) -> jax.Array:
     return jnp.stack(out, axis=-1)
 
 
+@jax.jit
+def precision_diag(lsf: jax.Array, q_lfirst: jax.Array) -> jax.Array:
+    """diag(Mᵀ diag(q) M) for λ-LEADING q — the k=0 band of
+    :func:`precision_bands`, without materialising the other lw−1 bands.
+
+    ``q_lfirst``: [L, ...spatial].  At full-MUSE-field size the eager
+    band loop queues dozens of 1.4 GB temporaries on the lazy dispatch
+    backend and OOMs; this jitted single-program form is what
+    make_problem's qvox build uses.
+    """
+    L, lw = lsf.shape
+    half = lw // 2
+    pads = [(lw, lw)] + [(0, 0)] * (q_lfirst.ndim - 1)
+    qp = jnp.pad(q_lfirst, pads)
+    lsfp = jnp.pad(lsf, ((lw, lw), (0, 0)))
+    out = jnp.zeros_like(q_lfirst)
+    for d in range(lw):
+        off = lw + half - d
+        col = jax.lax.dynamic_slice_in_dim(lsfp[:, d], off, L) ** 2
+        col = col.reshape((L,) + (1,) * (q_lfirst.ndim - 1))
+        out = out + col * jax.lax.dynamic_slice_in_dim(qp, off, L, axis=0)
+    return out
+
+
 def cholesky_banded(bands: jax.Array, jitter: float = 0.0) -> jax.Array:
     """Upper banded Cholesky A = RᵀR of an SPD band matrix.
 

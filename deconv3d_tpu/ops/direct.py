@@ -169,12 +169,7 @@ def make_preconditioner(problem, mode: str | None = None):
         # diag(A)[λ0,y,x] = Σ_μ M[μ,λ0]² (Σ_ab F[μ,a,b]² w[μ, y~, x~])
         # ≈ qvox; the cheap fallback for very large fields.
         quad_like = _spatial(w, p.fsf[:, ::-1, ::-1] ** 2)
-        diag = jnp.moveaxis(
-            banded.precision_bands(
-                p.lsf, jnp.moveaxis(quad_like, 0, -1)
-            )[..., 0],
-            -1, 0,
-        )
+        diag = banded.precision_diag(p.lsf, quad_like)
         inv = jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
 
         def Minv(r):

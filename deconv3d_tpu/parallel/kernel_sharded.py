@@ -134,11 +134,8 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
         # problem dropped it after its own global relayout)
         from ..ops import banded
 
-        qvox_g = jnp.moveaxis(
-            banded.precision_bands(
-                p.lsf.astype(dtype), jnp.moveaxis(quad_g, 0, -1)
-            )[..., 0],
-            -1, 0,
+        qvox_g = banded.precision_diag(
+            p.lsf.astype(dtype), quad_g
         ).astype(dtype)
     w_ov = overlap_shard(w_pad, f, ndev)
     w_w0 = pt._cube_to_window_layout(w_ov, Wpa_g, Lp).astype(jnp.bfloat16)

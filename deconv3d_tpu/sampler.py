@@ -496,17 +496,13 @@ def make_problem(
     if config.sampler == "gibbs":
         # conditional precision of a single voxel (λ0, y, x) under the
         # separable model: q = Σ_μ M[μ,λ0]² · (Σ_{dy,dx} F²[μ] w[μ,·,·]).
-        # M is banded (lw wide) — the diagonal of banded.precision_bands is
-        # exactly this sum, on device, O(L·lw) instead of a dense L×L
-        # einsum (which is O(L²) host flops and a GB-scale d2h round-trip
-        # on a full field).
+        # precision_diag computes just the k=0 band in one jitted program —
+        # the full band loop queues lw cube-size temporaries on the lazy
+        # dispatch backend and OOMs a 300×300×3681 field.
         from .ops import banded
 
-        qvox = jnp.moveaxis(
-            banded.precision_bands(
-                jnp.asarray(lsf_np, dtype=dtype), jnp.moveaxis(quad, 0, -1)
-            )[..., 0],
-            -1, 0,
+        qvox = banded.precision_diag(
+            jnp.asarray(lsf_np, dtype=dtype), quad
         ).astype(dtype)
 
     if config.lambda_chunk is None:

@@ -141,3 +141,14 @@ class TestBinnedSolvers:
             np.testing.assert_allclose(
                 Rd.T @ Rd @ np.asarray(x[k]), np.asarray(b[k]), atol=1e-8
             )
+
+
+def test_precision_diag_matches_bands(rng):
+    L, lw = 17, 5
+    lsf = jnp.asarray(rng.random((L, lw)))
+    q = jnp.asarray(rng.uniform(0.1, 2.0, (L, 4, 3)))
+    got = banded.precision_diag(lsf, q)
+    want = jnp.moveaxis(
+        banded.precision_bands(lsf, jnp.moveaxis(q, 0, -1))[..., 0], -1, 0
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
