@@ -466,12 +466,26 @@ def make_problem(
         :, h : h + Y, h : h + X
     ].set(jnp.asarray(cube.data, dtype=dtype))
 
+    # On huge cubes, serialize the GB-scale build steps: execution through
+    # the tunneled backend is LAZY and an unbounded dispatch queue keeps
+    # every pending step's working set live at once — quad + qvox + the
+    # tiled relayouts together OOM a full-field build that fits fine when
+    # each step completes (and frees its inputs) before the next.
+    _big = L * Yc * Xc * np.dtype(dtype).itemsize > 2**28
+
+    def _sync(x):
+        if _big and x is not None:
+            jax.block_until_ready(x)
+
+    _sync(data_pad)
+
     # Σ_{dy,dx} F²[λ,dy,dx] w[λ, y+dy, x+dx] for every spaxel: a depthwise
     # VALID correlation of the padded weights with F².  [L, Yc, Xc].
     # Chunked over λ: compile time of a grouped conv grows with the group
     # count, so a full MUSE field (3681 groups) is built as fixed 512-group
     # convs — one small compile, reused per chunk.
     quad = _quad_conv(w_pad, fsf_np, dtype)
+    _sync(quad)
 
     valid = np.zeros((Yc, Xc), dtype=bool)
     valid[:Y, :X] = ~mask_np
@@ -504,6 +518,7 @@ def make_problem(
         qvox = banded.precision_diag(
             jnp.asarray(lsf_np, dtype=dtype), quad
         ).astype(dtype)
+        _sync(qvox)
 
     if config.lambda_chunk is None:
         slab_bytes = L * Yc * Xc * np.dtype(dtype).itemsize
@@ -548,7 +563,8 @@ def make_problem(
             quad, ny, nx, f, ny_t, nx_t, L, _pad_lanes_of(L)
         )
         quad_mean = jnp.mean(quad, axis=0)
-        quad = None
+        _sync(quad_tiled)
+        quad = None     # freed once the relayout above has executed
         if qvox is not None:
             # gibbs on the tiled engine: same per-(color, tile) relayout;
             # the cube-layout copy is dropped for the same HBM reason.
@@ -556,6 +572,7 @@ def make_problem(
                 qvox.astype(dtype), ny, nx, f, ny_t, nx_t, L,
                 _pad_lanes_of(L),
             )
+            _sync(qvox_tiled)
             qvox = None
 
     return Problem(
