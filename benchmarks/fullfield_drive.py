@@ -102,8 +102,8 @@ def main():
 
     inst = ins.MUSE()
     t0 = time.time()
-    cube = build_field(inst)
-    n_dof = int(np.prod(cube.shape))
+    holder = [build_field(inst)]
+    n_dof = int(np.prod(holder[0].shape))
     cfg = sm.RunConfig(
         max_iterations=args.burn + args.sweeps,
         burn_in=args.burn,
@@ -112,8 +112,10 @@ def main():
         engine=args.engine,
         track_variance=False,   # HBM: one clean-cube buffer saved
     )
-    problem = sm.make_problem(cube, inst, cfg)
-    del cube   # ~2.7 GB: data+variance live on in problem.data_pad/w_pad
+    # hand the ONLY reference over: make_problem releases the input cube's
+    # ~2.8 GB (data+variance) mid-build, which the gibbs relayout stages
+    # need as headroom on a full field
+    problem = sm.make_problem(holder.pop(), inst, cfg)
     print(
         f"problem built in {time.time()-t0:.0f}s  engine={problem.config.engine}"
         f" tile={problem.config.tile} f={problem.f} ny×nx={problem.ny}×{problem.nx}"

@@ -478,6 +478,11 @@ def make_problem(
             jax.block_until_ready(x)
 
     _sync(data_pad)
+    # the padded copies now carry everything the build still needs — drop
+    # the input cube's device arrays and the intermediate weights (~4 GB
+    # on a full field that the later stages would otherwise OOM against)
+    del var, w
+    cube = None
 
     # Σ_{dy,dx} F²[λ,dy,dx] w[λ, y+dy, x+dx] for every spaxel: a depthwise
     # VALID correlation of the padded weights with F².  [L, Yc, Xc].
