@@ -62,21 +62,30 @@ def recovery_check(problem, state):
     truth with the problem's own banks and compare box fluxes: the ratio
     must come back near 1 if the sampler recovered the sources.
     """
-    pm = sm.posterior_mean(problem, state)
-    conv_pm = cv.convolve_cube(pm, problem.fsf, problem.lsf)
+    h = problem.f // 2
+    lw = int(problem.lsf.shape[1])
+
+    def boxes(conv):
+        vals = []
+        for (lam, y, x, amp) in SOURCES:
+            lo, hi = max(0, lam - 2 * lw), min(problem.L, lam + 2 * lw + 1)
+            sl = (slice(lo, hi), slice(max(0, y - h), y + h + 1),
+                  slice(max(0, x - h), x + h + 1))
+            vals.append(float(jnp.sum(conv[sl])))
+        return vals
+
+    # STAGED on huge fields: each conv's FFT temporaries are several GB,
+    # so run them one at a time with a sync (and free) between
     truth = jnp.zeros((problem.L, problem.Y, problem.X), jnp.float32)
     for (lam, y, x, amp) in SOURCES:
         truth = truth.at[lam, y, x].add(amp)
-    conv_tr = cv.convolve_cube(truth, problem.fsf, problem.lsf)
+    wants = boxes(cv.convolve_cube(truth, problem.fsf, problem.lsf))
+    del truth
+    pm = sm.posterior_mean(problem, state)
+    jax.block_until_ready(pm)
+    gots = boxes(cv.convolve_cube(pm, problem.fsf, problem.lsf))
     out = []
-    h = problem.f // 2
-    lw = int(problem.lsf.shape[1])
-    for (lam, y, x, amp) in SOURCES:
-        lo, hi = max(0, lam - 2 * lw), min(problem.L, lam + 2 * lw + 1)
-        sl = (slice(lo, hi), slice(max(0, y - h), y + h + 1),
-              slice(max(0, x - h), x + h + 1))
-        got = float(jnp.sum(conv_pm[sl]))
-        want = float(jnp.sum(conv_tr[sl]))
+    for (lam, y, x, amp), got, want in zip(SOURCES, gots, wants):
         out.append({
             "injected": amp,
             "box_flux_model": round(got, 3),
@@ -185,6 +194,26 @@ def main():
     chi_r = float(st.chi2)
     chi_f = float(sm.full_chi2(problem, st))
     acc_window = float(np.mean(np.concatenate(acc_trace)))
+
+    # free everything the recovery convolutions don't need (their FFT
+    # temporaries need several GB of headroom on a full field)
+    import dataclasses as _dc
+
+    problem = _dc.replace(
+        problem, quad_tiled=None, qvox_tiled=None, quad=None, qvox=None,
+        chol=None, data_pad=jnp.zeros((1, 1, 1), jnp.float32),
+        w_pad=jnp.zeros((1, 1, 1), jnp.float32),
+    )
+    st = _dc.replace(
+        st, resid=jnp.zeros((1, 1, 1), jnp.float32),
+        sum_sq=jnp.zeros((1, 1, 1), jnp.float32),
+    )
+    res = None
+    jax.block_until_ready(st.clean)
+    try:
+        recovery = recovery_check(problem, st)
+    except Exception as e:  # never lose the perf numbers to the check
+        recovery = [{"error": f"{type(e).__name__}: {str(e)[:200]}"}]
     out = {
         "sampler": args.sampler,
         "fullfield_sweeps_per_sec": round(sweeps_per_sec, 4),
@@ -205,7 +234,7 @@ def main():
         "acceptance_steady_state": round(acc_window, 4),
         "acceptance_cumulative": float(st.n_accept)
         / max(float(st.n_propose), 1.0),
-        "point_source_recovery": recovery_check(problem, st),
+        "point_source_recovery": recovery,
         "engine": problem.config.engine,
         "tile": list(problem.config.tile or ()),
         "footprint": problem.f,
