@@ -54,13 +54,15 @@ def build_field(inst, L=3681, Y=300, X=300, noise=1.0, seed=0):
 
 
 def recovery_check(problem, state):
-    """CONVOLVED posterior-mean flux around each source vs the truth's.
+    """CONVOLVED posterior-mean box fluxes vs the DATA's (z-scored).
 
-    The deconvolved box flux is dominated by blur-null posterior modes
-    (huge variance — a raw comparison is meaningless); the data-constrained
-    quantity is the forward model.  Convolve the posterior mean and the
-    truth with the problem's own banks and compare box fluxes: the ratio
-    must come back near 1 if the sampler recovered the sources.
+    The deconvolved box flux is dominated by blur-null posterior modes;
+    and the truth box flux is itself buried under the box's ±√N·σ noise
+    (±130 for a 61×17×17 box at σ=1 against amp≈50 sources).  What a
+    correct sampler MUST reproduce is the data's box flux: the posterior
+    of the model concentrates on the data projection for well-constrained
+    functionals, so z = (model − data)/√(Σ var) must be O(1).  The truth
+    flux is reported for context only.
     """
     h = problem.f // 2
     lw = int(problem.lsf.shape[1])
@@ -79,18 +81,29 @@ def recovery_check(problem, state):
     truth = jnp.zeros((problem.L, problem.Y, problem.X), jnp.float32)
     for (lam, y, x, amp) in SOURCES:
         truth = truth.at[lam, y, x].add(amp)
-    wants = boxes(cv.convolve_cube(truth, problem.fsf, problem.lsf))
+    truth_fluxes = boxes(cv.convolve_cube(truth, problem.fsf, problem.lsf))
     del truth
     pm = sm.posterior_mean(problem, state)
     jax.block_until_ready(pm)
     gots = boxes(cv.convolve_cube(pm, problem.fsf, problem.lsf))
+    del pm
+    hh = problem.f // 2
+    data_in = problem.data_pad[:, hh : hh + problem.Y, hh : hh + problem.X]
+    data_fluxes = boxes(data_in)
+    w_in = problem.w_pad[:, hh : hh + problem.Y, hh : hh + problem.X]
+    var_in = jnp.where(w_in > 0, 1.0 / jnp.maximum(w_in, 1e-30), 0.0)
+    sig_boxes = [float(jnp.sqrt(v)) for v in boxes(var_in)]
     out = []
-    for (lam, y, x, amp), got, want in zip(SOURCES, gots, wants):
+    for (lam, y, x, amp), got, dbox, tbox, sig in zip(
+        SOURCES, gots, data_fluxes, truth_fluxes, sig_boxes
+    ):
         out.append({
             "injected": amp,
             "box_flux_model": round(got, 3),
-            "box_flux_truth": round(want, 3),
-            "ratio": round(got / want, 4),
+            "box_flux_data": round(dbox, 3),
+            "box_flux_truth": round(tbox, 3),
+            "box_noise_sigma": round(sig, 2),
+            "z_model_vs_data": round((got - dbox) / max(sig, 1e-9), 3),
         })
     return out
 
@@ -201,8 +214,7 @@ def main():
 
     problem = _dc.replace(
         problem, quad_tiled=None, qvox_tiled=None, quad=None, qvox=None,
-        chol=None, data_pad=jnp.zeros((1, 1, 1), jnp.float32),
-        w_pad=jnp.zeros((1, 1, 1), jnp.float32),
+        chol=None,   # data_pad/w_pad stay: the recovery z-score reads them
     )
     st = _dc.replace(
         st, resid=jnp.zeros((1, 1, 1), jnp.float32),
