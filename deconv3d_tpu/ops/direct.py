@@ -207,12 +207,16 @@ def make_preconditioner(problem, mode: str | None = None):
 
 
 def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS):
-    """Radially-binned Fourier-banded M⁻¹ (full-field scale).
+    """Radially-binned Fourier-banded M⁻¹ (full-field scale), gather-free.
 
-    Frequencies are quantile-binned on |k|²; each bin's Λ uses the
-    bin-MEAN spectral power (λ-chunked accumulation — the full [L, Y, Xr]
-    power cube is never materialised).  Solves gather their factor rows
-    per λ-step from the [B, L, lw] bin table (banded.solve_*_binned).
+    Frequencies are EQUAL-COUNT quantile-binned on |k|², so sorting them by
+    bin (a static permutation) makes every bin the same size M = ⌈K/B⌉
+    (pad rows for the remainder): the per-frequency solves then run as the
+    ordinary batched banded solves on [B, M, L] against ``R_bin[:, None]``
+    — pure broadcasting, no per-λ-step gathers (dynamic gathers serialize
+    on the TPU scalar core; the gather formulation measured minutes per
+    iteration).  Each bin's Λ uses the bin-MEAN spectral power, accumulated
+    λ-chunked so the full [L, Y, Xr] power cube is never materialised.
     """
     p = problem
     Y, X, L = p.Y, p.X, p.L
@@ -222,18 +226,33 @@ def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS):
     Xr = X // 2 + 1
     K = Y * Xr
     B = min(n_bins, K)
+    M = -(-K // B)
 
     # equal-count quantile bins on |k|² (host, static)
     ky = np.fft.fftfreq(Y)
     kx = np.fft.rfftfreq(X)
     r2 = (ky[:, None] ** 2 + kx[None, :] ** 2).ravel()
-    order = np.argsort(r2, kind="stable")
+    order_np = np.argsort(r2, kind="stable")
     bin_np = np.empty(K, np.int64)
-    bin_np[order] = np.arange(K, dtype=np.int64) * B // K
+    bin_np[order_np] = np.arange(K, dtype=np.int64) * B // K
     bin_idx = jnp.asarray(bin_np, jnp.int32)
     counts = jnp.asarray(
         np.bincount(bin_np, minlength=B).astype(np.float64), dtype
     )
+    # sorted layout: row j of bin b sits at slot b·M + j; pad slots point
+    # at a dead row (index K) that solves garbage and is dropped
+    slot_of = np.full(B * M, K, np.int64)        # sorted-slot <- k index
+    fill = np.zeros(B, np.int64)
+    for pos, k in enumerate(order_np):
+        b = bin_np[k]
+        slot_of[b * M + fill[b]] = k
+        fill[b] += 1
+    take_sorted = jnp.asarray(slot_of, jnp.int32)        # [B·M]
+    inv = np.empty(K, np.int64)
+    for s, k in enumerate(slot_of):
+        if k < K:
+            inv[k] = s
+    take_back = jnp.asarray(inv, jnp.int32)              # [K]
 
     # bin-mean |F̂_k(λ)|², λ-chunked (a full-field power cube is 10 GB)
     wbar = jnp.sum(w) / jnp.maximum(jnp.sum(w > 0), 1.0)
@@ -251,11 +270,15 @@ def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS):
     bands = banded.precision_bands(p.lsf, q_bin)             # [B, L, lw]
     ridge = 1e-8 * jnp.max(bands[..., 0])
     bands = bands.at[..., 0].add(ridge)
-    R_bin = banded.cholesky_banded(bands)
+    R_bin = banded.cholesky_banded(bands)[:, None]           # [B, 1, L, lw]
 
     def solve_k(rhs):                                        # [K, L] real
-        z = banded.solve_transposed_banded_binned(R_bin, bin_idx, rhs)
-        return banded.solve_banded_binned(R_bin, bin_idx, z)
+        padded = jnp.concatenate(
+            [rhs, jnp.zeros((1, L), rhs.dtype)]
+        )[take_sorted].reshape(B, M, L)
+        z = banded.solve_transposed_banded(R_bin, padded)
+        out = banded.solve_banded(R_bin, z).reshape(B * M, L)
+        return out[take_back]
 
     def Minv(r):                                             # r [L, Y, X]
         rf = jnp.fft.rfft2(r.astype(dtype))                  # [L, Y, Xr]
