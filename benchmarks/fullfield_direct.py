@@ -53,21 +53,26 @@ def main():
     print(f"problem built in {time.time()-t0:.0f}s (quad dropped: "
           f"{p.quad is None})", flush=True)
 
-    t0 = time.time()
-    A = dr.make_normal_operator(p)
-    Minv = dr.make_preconditioner(p)
-    print(f"preconditioner built in {time.time()-t0:.0f}s", flush=True)
+    # Build the operator AND preconditioner INSIDE the jit with the problem
+    # as an ARGUMENT: closing over the device arrays turns ~4.4 GB into HLO
+    # constants, and XLA's constant handling made the compile effectively
+    # hang (>25 min, host-CPU-bound).  The per-call factor rebuild costs
+    # seconds against minutes-scale draws.
+    @jax.jit
+    def draw(problem, k):
+        A = dr.make_normal_operator(problem)
+        Minv = dr.make_preconditioner(problem)
+        return dr._one_draw(problem, k, A, Minv)
 
-    draw = jax.jit(lambda k: dr._one_draw(p, k, A, Minv))
     t0 = time.time()
-    res = draw(jax.random.PRNGKey(1))
+    res = draw(p, jax.random.PRNGKey(1))
     jax.block_until_ready(res.x)
     t_first = time.time() - t0
     print(f"draw 1 (incl. compile): {t_first:.0f}s  it={int(res.iterations)}"
           f"  rel={float(res.rel_residual):.2e}", flush=True)
 
     t0 = time.time()
-    res2 = draw(jax.random.PRNGKey(2))
+    res2 = draw(p, jax.random.PRNGKey(2))
     jax.block_until_ready(res2.x)
     t_draw = time.time() - t0
 
