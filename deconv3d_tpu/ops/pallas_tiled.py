@@ -636,6 +636,21 @@ def tiled_quad_layout(quad_lyx, ny, nx, f, ny_t, nx_t, L, Lp):
     )
 
 
+def untiled_quad_layout(qt, ny, nx, f, ny_t, nx_t, L, Lp):
+    """Inverse of :func:`tiled_quad_layout`: -> cube layout [L, Yc, Xc].
+
+    Lets consumers that need the cube-layout quad (kernel_sharded's band
+    stacks) recover it from a tiled problem by a pure relayout instead of
+    re-running the depthwise weight convolution.
+    """
+    n_ty, n_tx = ny // ny_t, nx // nx_t
+    q = qt.reshape(f, f, n_ty, n_tx, ny_t, nx_t, Lp)
+    return (
+        q.transpose(6, 2, 4, 0, 3, 5, 1)   # [Lp, n_ty, ny_t, f, n_tx, nx_t, f]
+        .reshape(Lp, ny * f, nx * f)[:L]
+    )
+
+
 def _cube_to_window_layout(arr_lyx, Wpa_g, Lp):
     """[L, Hp, Wp] -> [Hp, Wpa_g, Lp] (λ on lanes, x padded to window grid)."""
     L, Hp, Wp = arr_lyx.shape

@@ -123,11 +123,29 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
         Wpa_g = max(Wpa_g, pt.global_window_width(f, nx, tile_b[1]))
 
     # ---- shard-constant host-side precomputation ----
-    w_pad = p.w_pad.astype(dtype)
-    quad_g = (
-        p.quad if p.quad is not None
-        else sm._quad_conv(w_pad, np.asarray(p.fsf), dtype)
-    )
+    # Serialized on huge problems: the lazy dispatch backend otherwise
+    # queues every GB-scale stage's working set at once (same pattern as
+    # make_problem's _sync).
+    _big = L * ny * nx * f * f * 4 > 2**28
+
+    def _sync(x):
+        if _big:
+            jax.block_until_ready(x)
+
+    # weights stay in their stored dtype (bf16 on tiled problems) — the
+    # window copy is bf16 anyway and _quad_conv upcasts per chunk
+    w_pad = p.w_pad
+    if p.quad is not None:
+        quad_g = p.quad
+    elif p.quad_tiled is not None:
+        # pure relayout beats re-running the depthwise conv
+        gt = p.config.tile
+        quad_g = pt.untiled_quad_layout(
+            p.quad_tiled, ny, nx, f, gt[0], gt[1], L, Lp
+        ).astype(dtype)
+    else:
+        quad_g = sm._quad_conv(w_pad, np.asarray(p.fsf), dtype)
+    _sync(quad_g)
     qvox_g = None
     if cfg.sampler == "gibbs":
         # per-voxel conditional precision in cube layout (the tiled-gibbs
@@ -137,8 +155,10 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
         qvox_g = banded.precision_diag(
             p.lsf.astype(dtype), quad_g
         ).astype(dtype)
-    w_ov = overlap_shard(w_pad, f, ndev)
+    w_ov = overlap_shard(w_pad, f, ndev)     # stays bf16 on tiled problems
     w_w0 = pt._cube_to_window_layout(w_ov, Wpa_g, Lp).astype(jnp.bfloat16)
+    _sync(w_w0)
+    del w_ov
 
     # quad in window-lane layout [Yc, Xc+f, Lp] (cols padded for strides);
     # ONLY the jnp test path reads it — the pallas path gets a dummy so a
@@ -163,11 +183,14 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
                 )
                 for d in range(ndev)
             ]
-            out.append(jnp.concatenate([q[None] for q in parts], axis=0))
+            stack = jnp.concatenate([q[None] for q in parts], axis=0)
+            _sync(stack)
+            out.append(stack)
         return out
 
     qt_stacks = _band_stacks(quad_g)
     qv_stacks = _band_stacks(qvox_g) if qvox_g is not None else qt_stacks
+    del quad_g, qvox_g
 
     validf = p.valid.astype(dtype)                      # [Yc, Xc]
     fsf_lanes = jnp.pad(

@@ -208,3 +208,13 @@ class TestEngineResolution:
         assert p.config.engine == "pallas_tiled"
         ny_t, nx_t = p.config.tile
         assert p.ny % ny_t == 0 and p.nx % nx_t == 0
+
+
+def test_untiled_quad_layout_inverts(rng):
+    ny, nx, f, ny_t, nx_t, L, Lp = 4, 6, 5, 2, 3, 7, 128
+    quad = jnp.asarray(
+        rng.standard_normal((L, ny * f, nx * f)).astype(np.float32)
+    )
+    qt = pt.tiled_quad_layout(quad, ny, nx, f, ny_t, nx_t, L, Lp)
+    back = pt.untiled_quad_layout(qt, ny, nx, f, ny_t, nx_t, L, Lp)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(quad))
