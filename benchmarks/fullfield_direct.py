@@ -53,26 +53,47 @@ def main():
     print(f"problem built in {time.time()-t0:.0f}s (quad dropped: "
           f"{p.quad is None})", flush=True)
 
-    # Build the operator AND preconditioner INSIDE the jit with the problem
-    # as an ARGUMENT: closing over the device arrays turns ~4.4 GB into HLO
-    # constants, and XLA's constant handling made the compile effectively
-    # hang (>25 min, host-CPU-bound).  The per-call factor rebuild costs
-    # seconds against minutes-scale draws.
+    # Two memory rules learned on-chip: (1) build the operator AND
+    # preconditioner INSIDE the jit with the problem as an ARGUMENT —
+    # closing over the device arrays turns ~4.4 GB into HLO constants
+    # whose folding effectively hangs XLA; (2) split the b-build from the
+    # solve and hand the solve a data-free problem — the PCG body's peak
+    # (3 carry cubes + operator/preconditioner temporaries) is what must
+    # fit HBM, and data_pad's 1.5 GB OOM'd it at full field.
+    import dataclasses as _dc
+
     @jax.jit
-    def draw(problem, k):
+    def build_b(problem, k):
+        w = dr._w_in(problem)
+        h = problem.f // 2
+        d = problem.data_pad[:, h : h + problem.Y, h : h + problem.X]
+        z = jax.random.normal(k, d.shape, dtype=jnp.float32)
+        return dr.apply_KT(problem, d * w + jnp.sqrt(w) * z) * dr._free_mask(
+            problem
+        )
+
+    @jax.jit
+    def solve(problem, b):
         A = dr.make_normal_operator(problem)
         Minv = dr.make_preconditioner(problem)
-        return dr._one_draw(problem, k, A, Minv)
+        return dr.pcg(A, Minv, b, args.tol, args.maxiter)
+
+    p_solve = _dc.replace(p, data_pad=jnp.zeros((1, 1, 1), jnp.float32))
+
+    def draw(k):
+        b = build_b(p, k)
+        jax.block_until_ready(b)
+        return solve(p_solve, b)
 
     t0 = time.time()
-    res = draw(p, jax.random.PRNGKey(1))
+    res = draw(jax.random.PRNGKey(1))
     jax.block_until_ready(res.x)
     t_first = time.time() - t0
     print(f"draw 1 (incl. compile): {t_first:.0f}s  it={int(res.iterations)}"
           f"  rel={float(res.rel_residual):.2e}", flush=True)
 
     t0 = time.time()
-    res2 = draw(p, jax.random.PRNGKey(2))
+    res2 = draw(jax.random.PRNGKey(2))
     jax.block_until_ready(res2.x)
     t_draw = time.time() - t0
 

@@ -302,7 +302,13 @@ class PCGResult(NamedTuple):
 
 
 def pcg(A, Minv, b, tol: float, maxiter: int) -> PCGResult:
-    """Preconditioned CG for SPD A; runs under jit/vmap (masked updates)."""
+    """Preconditioned CG for SPD A; runs under jit/vmap (masked updates).
+
+    The carry holds only (x, r, p) cube-size vectors — z is recomputed in
+    the body (one Minv per iteration either way).  At full-MUSE-field size
+    every carried cube is 1.3 GB and the loop body's peak (carry + the
+    operator/preconditioner temporaries) is what has to fit HBM.
+    """
     dtype = b.dtype
     bnorm = jnp.sqrt(jnp.sum(b * b, dtype=jnp.float64 if dtype == jnp.float64
                              else jnp.float32))
@@ -312,12 +318,12 @@ def pcg(A, Minv, b, tol: float, maxiter: int) -> PCGResult:
     rz0 = jnp.sum(r0 * z0)
 
     def cond(s):
-        x, r, z, pvec, rz, it = s
+        x, r, pvec, rz, it = s
         rnorm = jnp.sqrt(jnp.sum(r * r))
         return (it < maxiter) & (rnorm > tol * jnp.maximum(bnorm, 1e-30))
 
     def body(s):
-        x, r, z, pvec, rz, it = s
+        x, r, pvec, rz, it = s
         done = jnp.sqrt(jnp.sum(r * r)) <= tol * jnp.maximum(bnorm, 1e-30)
         Ap = A(pvec)
         denom = jnp.sum(pvec * Ap)
@@ -328,11 +334,11 @@ def pcg(A, Minv, b, tol: float, maxiter: int) -> PCGResult:
         rz_new = jnp.sum(r * z)
         beta = jnp.where(done | (rz <= 0), 0.0, rz_new / jnp.maximum(rz, 1e-30))
         pvec = z + beta * pvec
-        return (x, r, z, pvec, jnp.where(done, rz, rz_new),
+        return (x, r, pvec, jnp.where(done, rz, rz_new),
                 it + jnp.where(done, 0, 1))
 
-    x, r, _, _, _, it = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    x, r, _, _, it = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, rz0, jnp.zeros((), jnp.int32))
     )
     rel = jnp.sqrt(jnp.sum(r * r)) / jnp.maximum(bnorm, 1e-30)
     return PCGResult(x=x, iterations=it, rel_residual=rel)
