@@ -115,11 +115,15 @@ def main():
     ap.add_argument("--burn", type=int, default=300)
     ap.add_argument("--sampler", default="mh", choices=["mh", "gibbs"])
     ap.add_argument("--engine", default="auto")
+    ap.add_argument("--coarse-every", type=int, default=0,
+                    help="interleave a global coarse pattern pass every N "
+                    "sweeps (ops/coarse.py mode='global')")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    tag = "_coarse" if args.coarse_every else ""
     out_path = args.out or (
-        "FULLFIELD_r03.json" if args.sampler == "mh"
-        else f"FULLFIELD_r03_{args.sampler}.json"
+        f"FULLFIELD_r03{tag}.json" if args.sampler == "mh"
+        else f"FULLFIELD_r03_{args.sampler}{tag}.json"
     )
 
     inst = ins.MUSE()
@@ -132,6 +136,8 @@ def main():
         seed=0,
         sampler=args.sampler,
         engine=args.engine,
+        coarse_every=args.coarse_every or None,
+        coarse_mode="global",
         track_variance=False,   # HBM: one clean-cube buffer saved
     )
     # hand the ONLY reference over: make_problem releases the input cube's
@@ -185,6 +191,7 @@ def main():
     # ---- timed steady-state window ----
     n_timed = max(cap, (args.sweeps // cap) * cap)
     acc_trace = []
+    mon_trace = []
     t0 = time.time()
     done_t = 0
     while done_t < n_timed:
@@ -192,6 +199,7 @@ def main():
         jax.block_until_ready(res.state.chi2)
         done_t += cap
         acc_trace.append(np.asarray(res.accept_trace))
+        mon_trace.append(np.asarray(res.monitor_trace))
         if done_t % (100 * cap) < cap:
             chi2_traj.append(
                 (done + done_t, float(res.state.chi2) / n_dof)
@@ -207,6 +215,18 @@ def main():
     chi_r = float(st.chi2)
     chi_f = float(sm.full_chi2(problem, st))
     acc_window = float(np.mean(np.concatenate(acc_trace)))
+
+    # mean per-voxel ESS over the monitored voxels in the timed window —
+    # the mixing metric coarse passes exist to improve (Geyer, 1 chain)
+    from deconv3d_tpu.chains import effective_sample_size
+
+    mon = np.concatenate(mon_trace, axis=0)        # [n_timed, K]
+    voxel_ess = [
+        float(effective_sample_size(mon[None, :, k]))
+        for k in range(mon.shape[1])
+    ]
+    voxel_ess = [e for e in voxel_ess if np.isfinite(e)]
+    ess_mean = float(np.mean(voxel_ess)) if voxel_ess else float("nan")
 
     # free everything the recovery convolutions don't need (their FFT
     # temporaries need several GB of headroom on a full field)
@@ -243,6 +263,9 @@ def main():
             [s, round(c, 4)] for s, c in chi2_traj
         ],
         "chi2_consistency": abs(chi_r - chi_f) / max(abs(chi_f), 1.0),
+        "coarse_every": args.coarse_every,
+        "monitor_voxel_ess_mean": round(ess_mean, 2),
+        "monitor_voxel_ess_per_sec": round(ess_mean / dt, 4),
         "acceptance_steady_state": round(acc_window, 4),
         "acceptance_cumulative": float(st.n_accept)
         / max(float(st.n_propose), 1.0),

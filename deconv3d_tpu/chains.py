@@ -174,6 +174,7 @@ def run_chains(
     mesh: Optional[Mesh] = None,
     states: Optional[sm.SamplerState] = None,
     axis_name: str = "chains",
+    spatial_axis: Optional[str] = None,
 ) -> MultiChainResult:
     """Run ``n_chains`` independent chains, sharded over the device mesh.
 
@@ -182,11 +183,29 @@ def run_chains(
     zero collectives in the hot loop (SURVEY.md §2.2).  With ``mesh=None``
     and >1 visible device, an all-device 1-D mesh is used when it divides
     ``n_chains``; pass an explicit mesh for multi-axis setups.
+
+    With ``spatial_axis`` set, ``mesh`` must be 2-D ``(axis_name,
+    spatial_axis)`` and each chain additionally Y-shards its sweep over its
+    own mesh row at kernel rate (parallel/kernel_sharded.py) — e.g. a
+    v5e-8 as 2 chains × 4-way spatial.
     """
     if n_sweeps is None:
         n_sweeps = problem.config.max_iterations
     if states is None:
         states = init_chain_states(problem, n_chains)
+
+    if spatial_axis is not None:
+        from .parallel.kernel_sharded import run_chains_kernel_sharded
+
+        if mesh is None:
+            raise ValueError(
+                "spatial_axis needs an explicit 2-D mesh "
+                f"({axis_name!r}, {spatial_axis!r})"
+            )
+        return run_chains_kernel_sharded(
+            problem, n_chains, n_sweeps, mesh, states=states,
+            chain_axis=axis_name, axis_name=spatial_axis,
+        )
 
     if problem.config.coarse_every:
         # coarse pattern passes interleave at absolute-sweep boundaries,

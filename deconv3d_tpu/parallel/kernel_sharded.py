@@ -68,9 +68,9 @@ from ..ops.pallas_sweep import _from_color_layout, _pad_lanes
 from .sweep_sharded import overlap_shard, overlap_unshard
 
 
-#: compiled sharded programs + shard constants, keyed by
-#: (id(problem), mesh, axis_name, n_sweeps, interior); purged when the
-#: problem's config is collected.
+#: (weakref(problem), compiled sharded program + shard constants), keyed by
+#: (id(problem), mesh, axis_name, n_sweeps, interior[, chain_axis]); the
+#: weakref validates the entry against problem-id recycling.
 _PROGRAM_CACHE: dict = {}
 
 
@@ -95,8 +95,12 @@ def _band_rows(nyl: int, f: int):
     return bands
 
 
-def _build_program(p, mesh, axis_name, n_sweeps, interior):
-    """Build (once) the jitted sharded program + its shard constants."""
+def _build_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None):
+    """Build (once) the jitted sharded program + its shard constants.
+
+    With ``chain_axis`` set (run_chains_kernel_sharded), the mesh is 2-D
+    and every per-chain array carries a leading chain axis sharded over it.
+    """
     cfg = p.config
     ndev = mesh.shape[axis_name]
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
@@ -537,6 +541,33 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
         return (resid_w, ls_cube, clean, sum_clean, sum_sq, chi2, chi2c,
                 acc, nprop, chi2_t, acc_t, flux_t, mon_t)
 
+    # Per-chain arrays gain a leading chain axis when the program composes
+    # with chain parallelism (run_chains_kernel_sharded): one chain per
+    # chain-axis mesh row, so every program instance sees a local chain
+    # block of exactly 1 and the body just squeezes/restores the axis.
+    # Shard constants (w_w, quad_w, band stacks, validf) keep their 1-D
+    # specs — shard_map replicates them along the unmentioned chain axis.
+    def _pc(*dims):
+        return P(chain_axis, *dims) if chain_axis else P(*dims)
+
+    sp_resid = _pc(axis_name, None, None)
+    sp_yx = _pc(axis_name, None)
+    sp_cl = _pc(None, axis_name, None)
+    sp_sq = sp_cl if cfg.track_variance else _pc(None, None, None)
+    sp_s = _pc()
+
+    if chain_axis is None:
+        body = _program
+    else:
+        def body(resid_w, w_w, quad_w, qts, qvs, valid_l, clean, ls_cube,
+                 sum_clean, sum_sq, key, chi2, chi2c, adapt, keep, sweep0):
+            outs = _program(
+                resid_w[0], w_w, quad_w, qts, qvs, valid_l, clean[0],
+                ls_cube[0], sum_clean[0], sum_sq[0], key[0], chi2[0],
+                chi2c[0], adapt, keep, sweep0,
+            )
+            return tuple(o[None] for o in outs)
+
     sharded = jax.jit(functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -545,30 +576,69 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior):
         # path cannot)
         check_vma=False,
         in_specs=(
-            P(axis_name, None, None),   # resid_w  [ndev·Hpl, Wpa, Lp]
+            sp_resid,                   # resid_w  [ndev·Hpl, Wpa, Lp]
             P(axis_name, None, None),   # w_w
             P(axis_name, None, None),   # quad_w
             tuple(P(axis_name, None, None, None) for _ in band_geo),
             tuple(P(axis_name, None, None, None) for _ in band_geo),
             spec_yx,                    # validf
-            spec_cl,                    # clean
-            spec_yx,                    # ls
-            spec_cl,                    # sum_clean
-            spec_cl if cfg.track_variance else P(),
-            P(), P(), P(), P(), P(), P(),
+            sp_cl,                      # clean
+            sp_yx,                      # ls
+            sp_cl,                      # sum_clean
+            sp_sq,
+            _pc(None),                  # key
+            sp_s, sp_s,                 # chi2, chi2c
+            P(), P(), P(),              # adapt, keep, sweep0
         ),
         out_specs=(
-            P(axis_name, None, None),   # resid_w
-            spec_yx,                    # ls
-            spec_cl,                    # clean
-            spec_cl,                    # sum_clean
-            spec_cl if cfg.track_variance else P(),
-            P(), P(), P(), P(), P(), P(), P(), P(),
+            sp_resid,                   # resid_w
+            sp_yx,                      # ls
+            sp_cl,                      # clean
+            sp_cl,                      # sum_clean
+            sp_sq,
+            sp_s, sp_s, sp_s, sp_s,     # chi2, chi2c, acc, nprop
+            _pc(None), _pc(None), _pc(None), _pc(None, None),
         ),
-    )(_program))
+    )(body))
 
     consts = (w_w0, quad_w0, tuple(qt_stacks), tuple(qv_stacks), validf)
     return sharded, consts, Wpa_g
+
+
+def _check_kernel_shardable(p, mesh, axis_name, interior):
+    """Shared validation for the kernel-rate sharded entry points."""
+    cfg = p.config
+    if cfg.sampler not in ("mh", "gibbs"):
+        raise ValueError(
+            "kernel-rate sharding supports sampler='mh' and 'gibbs' "
+            "(the band kernels carry both modes); use "
+            "parallel.sweep_sharded for other modes."
+        )
+    if cfg.positivity:
+        raise ValueError("positivity is not supported on this path")
+    if p.fsf_spec is None:
+        raise ValueError(
+            "problem lacks low-rank FSF factors — build it with "
+            "engine='pallas_tiled' (or 'pallas')"
+        )
+    if interior is None:
+        interior = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if cfg.sampler == "gibbs" and interior == "jnp":
+        raise ValueError(
+            "the jnp band stand-in implements the mh step only; gibbs "
+            "kernel-sharding needs the pallas interior (run on TPU)"
+        )
+    ndev = mesh.shape[axis_name]
+    if p.ny % ndev:
+        raise ValueError(
+            f"ny={p.ny} color-rows must be divisible by the mesh size "
+            f"{ndev}"
+        )
+    if p.ny // ndev < 2:
+        raise ValueError(
+            f"need ≥2 block-rows per shard (ny={p.ny}, D={ndev})"
+        )
+    return interior
 
 
 def run_sweeps_kernel_sharded(
@@ -589,45 +659,23 @@ def run_sweeps_kernel_sharded(
     """
     p = problem
     cfg = p.config
-    if cfg.sampler not in ("mh", "gibbs"):
-        raise ValueError(
-            "run_sweeps_kernel_sharded supports sampler='mh' and 'gibbs' "
-            "(the band kernels carry both modes); use "
-            "parallel.sweep_sharded for other modes."
-        )
-    if cfg.positivity:
-        raise ValueError("positivity is not supported on this path")
-    if p.fsf_spec is None:
-        raise ValueError(
-            "problem lacks low-rank FSF factors — build it with "
-            "engine='pallas_tiled' (or 'pallas')"
-        )
-    if interior is None:
-        interior = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if cfg.sampler == "gibbs" and interior == "jnp":
-        raise ValueError(
-            "the jnp band stand-in implements the mh step only; gibbs "
-            "kernel-sharding needs the pallas interior (run on TPU)"
-        )
+    interior = _check_kernel_shardable(p, mesh, axis_name, interior)
     ndev = mesh.shape[axis_name]
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
-    if ny % ndev:
-        raise ValueError(
-            f"ny={ny} color-rows must be divisible by the mesh size {ndev}"
-        )
-    nyl = ny // ndev
-    if nyl < 2:
-        raise ValueError(f"need ≥2 block-rows per shard (ny={ny}, D={ndev})")
     Lp = _pad_lanes(L)
     dtype = cfg.dtype
 
+    # id() alone is unsafe as a key: a freed problem's id can be recycled
+    # by a later problem of identical geometry (jit static metadata keeps
+    # configs alive, so finalizers are unreliable) — the weakref makes the
+    # entry self-validating.
     ckey = (id(p), mesh, axis_name, int(n_sweeps), interior)
-    if ckey not in _PROGRAM_CACHE:
-        _PROGRAM_CACHE[ckey] = _build_program(
+    entry = _PROGRAM_CACHE.get(ckey)
+    if entry is None or entry[0]() is not p:
+        _PROGRAM_CACHE[ckey] = (weakref.ref(p), _build_program(
             p, mesh, axis_name, int(n_sweeps), interior
-        )
-        weakref.finalize(p.config, _PROGRAM_CACHE.pop, ckey, None)
-    sharded, consts, Wpa_g = _PROGRAM_CACHE[ckey]
+        ))
+    sharded, consts, Wpa_g = _PROGRAM_CACHE[ckey][1]
     (w_w0, quad_w0, qt_stacks, qv_stacks, validf) = consts
 
     resid_ov = overlap_shard(state.resid.astype(jnp.float32), f, ndev)
@@ -669,3 +717,115 @@ def run_sweeps_kernel_sharded(
         state=new_state, chi2_trace=chi2_t, accept_trace=acc_t,
         flux_trace=flux_t, monitor_trace=mon_t,
     )
+
+
+def run_chains_kernel_sharded(
+    problem: sm.Problem,
+    n_chains: int,
+    n_sweeps: int,
+    mesh: Mesh,
+    states: sm.SamplerState | None = None,
+    chain_axis: str = "ch",
+    axis_name: str = "sp",
+    interior: str | None = None,
+):
+    """Chain parallelism × kernel-rate spatial sharding on a 2-D mesh.
+
+    The production topology for a multi-chip slice (SURVEY §2.2 + §7.7
+    composed): mesh axes ``(chain_axis, axis_name)`` run ``n_chains``
+    independent chains, each Y-sharded over its own row of the mesh with
+    every sweep phase on the fused tiled kernel — e.g. a v5e-8 as 2 chains
+    × 4-way spatial.  One chain per mesh row
+    (``mesh.shape[chain_axis] == n_chains``); all collectives (halo strip
+    ppermutes, chi² psums) ride ``axis_name`` only, so chain rows never
+    communicate and the composition is draw-for-draw identical to running
+    each chain alone on the same spatial mesh (per-chain RNG keys shard
+    over ``chain_axis``; streams are keyed by the absolute sweep).
+
+    Returns a ``chains.MultiChainResult`` (leading chain axis), so R̂/ESS
+    diagnostics work unchanged.
+    """
+    from .. import chains as ch
+
+    p = problem
+    cfg = p.config
+    if cfg.coarse_every:
+        raise ValueError(
+            "coarse pattern passes do not compose with the kernel-rate "
+            "sharded path yet; drop coarse_every or use run_chains on a "
+            "chain-only mesh"
+        )
+    interior = _check_kernel_shardable(p, mesh, axis_name, interior)
+    if chain_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no {chain_axis!r} axis (axes: {mesh.axis_names})"
+        )
+    n_ch = mesh.shape[chain_axis]
+    if n_chains != n_ch:
+        raise ValueError(
+            f"one chain per {chain_axis!r} mesh row: n_chains={n_chains} "
+            f"must equal mesh.shape[{chain_axis!r}]={n_ch}"
+        )
+    ndev = mesh.shape[axis_name]
+    f, L = p.f, p.L
+    Lp = _pad_lanes(L)
+    dtype = cfg.dtype
+
+    if states is None:
+        states = ch.init_chain_states(problem, n_chains)
+
+    ckey = (id(p), mesh, axis_name, int(n_sweeps), interior, chain_axis)
+    entry = _PROGRAM_CACHE.get(ckey)
+    if entry is None or entry[0]() is not p:
+        _PROGRAM_CACHE[ckey] = (weakref.ref(p), _build_program(
+            p, mesh, axis_name, int(n_sweeps), interior,
+            chain_axis=chain_axis,
+        ))
+    sharded, consts, Wpa_g = _PROGRAM_CACHE[ckey][1]
+    (w_w0, quad_w0, qt_stacks, qv_stacks, validf) = consts
+
+    resid_w0 = jax.vmap(
+        lambda r: pt._cube_to_window_layout(
+            overlap_shard(r.astype(jnp.float32), f, ndev), Wpa_g, Lp
+        )
+    )(states.resid)
+
+    # all chains advance in lock-step: one shared adapt/keep schedule
+    sweep0 = states.sweep[0]
+    idx_sw = sweep0 + jnp.arange(n_sweeps, dtype=jnp.int32)
+    adapt = sm.adapt_schedule(idx_sw, cfg)
+    burn = cfg.resolved_burn_in()
+    keep = jnp.where(
+        (idx_sw >= burn) & ((idx_sw - burn) % cfg.keep_one_in == 0), 1.0, 0.0
+    ).astype(jnp.float32)
+
+    (resid_w_out, ls_out, clean, sum_clean, sum_sq, chi2, chi2c, acc,
+     nprop, chi2_t, acc_t, flux_t, mon_t) = sharded(
+        resid_w0, w_w0, quad_w0, qt_stacks, qv_stacks, validf,
+        states.clean, states.log_scale.astype(jnp.float32),
+        states.sum_clean, states.sum_sq, states.key, states.chi2,
+        states.chi2_comp, adapt, keep, sweep0,
+    )
+
+    resid_ov_out = jnp.moveaxis(resid_w_out[:, :, : p.Wp, :L], -1, 1)
+    new_resid = jax.vmap(
+        lambda r: overlap_unshard(r, f, ndev)
+    )(resid_ov_out).astype(dtype)
+    new_state = sm.SamplerState(
+        clean=clean.astype(dtype),
+        resid=new_resid,
+        key=states.key,         # constant: streams keyed by absolute sweep
+        chi2=chi2,
+        chi2_comp=chi2c,
+        log_scale=ls_out.astype(dtype),
+        n_accept=states.n_accept + acc,
+        n_propose=states.n_propose + nprop,
+        sum_clean=sum_clean,
+        sum_sq=sum_sq,
+        n_kept=states.n_kept + jnp.sum(keep),
+        sweep=states.sweep + n_sweeps,
+    )
+    return ch.MultiChainResult(result=sm.ChainResult(
+        state=new_state, chi2_trace=chi2_t, accept_trace=acc_t,
+        flux_trace=flux_t, monitor_trace=mon_t,
+    ))

@@ -1099,14 +1099,35 @@ def run_sweeps(
     return _engine_run_sweeps(problem, state, n_sweeps)
 
 
+#: (weakref(problem), coarse-pass constants) per (problem id, mode):
+#: segmented drives (Run.run, fullfield_drive's 1-sweep segments) call
+#: _run_sweeps_coarse hundreds of times, and rebuilding the constants
+#: costs full-field convolutions each time; the weakref validates the
+#: entry against problem-id recycling.
+_COARSE_CONST_CACHE: dict = {}
+
+
 def _run_sweeps_coarse(
     problem: Problem, state: SamplerState, n_sweeps: int
 ) -> ChainResult:
+    import weakref
+
     from .ops.coarse import coarse_constants, coarse_pass
 
     cfg = problem.config
     every = int(cfg.coarse_every)
-    constants = coarse_constants(problem, cfg.coarse_mode)
+    # id() alone is unsafe as a key: a freed problem's id can be recycled
+    # by a later problem of identical geometry (jit static metadata keeps
+    # configs alive, so finalizers are unreliable here) — a weakref to the
+    # problem itself makes the entry self-validating.
+    ckey = (id(problem), cfg.coarse_mode)
+    entry = _COARSE_CONST_CACHE.get(ckey)
+    if entry is None or entry[0]() is not problem:
+        _COARSE_CONST_CACHE[ckey] = (
+            weakref.ref(problem),
+            coarse_constants(problem, cfg.coarse_mode),
+        )
+    constants = _COARSE_CONST_CACHE[ckey][1]
     parts = []
     cur = state
     left = n_sweeps

@@ -76,6 +76,37 @@ class TestOperators:
         np.testing.assert_allclose(G, np.eye(4), atol=1e-10)
 
 
+def test_global_pass_on_tiled_problem(rng, monkeypatch):
+    """mode='global' constants + pass on a pallas_tiled-built problem
+    (bf16 w_pad, quad dropped) — the configuration full-field runs use.
+    Checks the exact-Gibbs accounting, incremental chi² consistency, and
+    the residual invariant through the pass."""
+    from test_kernel_sharded import _problem as _tiled_problem
+
+    p = _tiled_problem(rng, monkeypatch=monkeypatch)
+    st = sm.init_state(p)
+    consts = co.coarse_constants(p, "global")
+    assert consts and all(e[0] == "global" for e in consts)
+    st2 = co.coarse_pass(p, st, consts, jax.random.PRNGKey(0))
+    d_acc = float(st2.n_accept - st.n_accept)
+    d_prop = float(st2.n_propose - st.n_propose)
+    assert d_acc > 0 and d_acc == d_prop  # exact Gibbs: acceptance 1
+    chi_f = float(sm.full_chi2(p, st2))
+    assert abs(float(st2.chi2) - chi_f) / max(chi_f, 1.0) < 3e-5
+    h = p.f // 2
+    conv = cv.convolve_cube(
+        jnp.asarray(np.asarray(st2.clean))[:, : p.Y, : p.X], p.fsf, p.lsf
+    )
+    model = (
+        p.data_pad[:, h : h + p.Y, h : h + p.X]
+        - st2.resid[:, h : h + p.Y, h : h + p.X]
+    )
+    w = np.asarray(p.w_pad[:, h : h + p.Y, h : h + p.X], np.float32)
+    scale = float(np.abs(np.asarray(conv)).max()) or 1.0
+    err = np.abs(np.asarray(model)[w > 0] - np.asarray(conv)[w > 0]).max()
+    assert err / scale < 3e-5
+
+
 def test_invariant_with_coarse_passes(rng):
     """data − resid == conv(clean) and chi² Kahan == full chi² after a run
     that interleaves coarse passes (every 2 sweeps) with fine sweeps."""
