@@ -198,14 +198,28 @@ def global_constants(problem):
 
     p = problem
     dtype = p.config.dtype
-    w_pad = p.w_pad.astype(dtype)
     validf = p.valid.astype(dtype)
+    fsf = p.fsf.astype(dtype)
+    # On huge fields, chunk the QR reduction over λ: the whole-cube R_d
+    # plus an f32 w_pad upcast is ~3 GB of transients per pattern, and the
+    # lazy dispatch backend can hold several patterns' working sets at
+    # once; the per-chunk sync bounds both.
+    chunk = 256 if p.w_pad.nbytes > 2**28 else p.L
     out = []
     for pat in soft_patterns(np.asarray(p.fsf)):
         d = jnp.tile(jnp.asarray(pat, dtype), (p.ny, p.nx)) * validf
-        R_d = pattern_field_response(d, p.fsf.astype(dtype))
-        QR = jnp.einsum("luv,luv->l", R_d, R_d * w_pad,
-                        precision=jax.lax.Precision.HIGHEST)
+        parts = []
+        for lo in range(0, p.L, chunk):
+            hi = min(p.L, lo + chunk)
+            R_c = pattern_field_response(d, fsf[lo:hi])
+            w_c = p.w_pad[lo:hi].astype(dtype)
+            parts.append(jnp.einsum(
+                "luv,luv->l", R_c, R_c * w_c,
+                precision=jax.lax.Precision.HIGHEST,
+            ))
+            if chunk < p.L:
+                jax.block_until_ready(parts[-1])
+        QR = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         if float(jnp.min(QR)) <= 0.0:
             continue                                  # improper conditional
         chol = bd.cholesky_banded(bd.precision_bands(p.lsf, QR))
@@ -240,6 +254,64 @@ def _global_pass_one(problem, state, d, QR, R, key):
     clean = state.clean + (delta[:, None, None] * d[None]).astype(
         state.clean.dtype
     )
+    y = dchi - state.chi2_comp
+    t = state.chi2 + y
+    chi2c = (t - state.chi2) - y
+    nL = jnp.float32(p.L)
+    return dataclasses.replace(
+        state, resid=resid, clean=clean, chi2=t, chi2_comp=chi2c,
+        n_accept=state.n_accept + nL, n_propose=state.n_propose + nL,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _global_pass_one_big(problem, state, d, QR, R, key):
+    """λ-chunked `_global_pass_one` for huge fields.
+
+    The whole-cube version materialises R_d, the resid·w product, and
+    fresh resid/clean cubes at once — ≈5.6 GB of transients on a full
+    MUSE field, which OOMs on top of the sampler's standing ~7.4 GB.
+    Every per-λ quantity here (LR reduction, resid update) has no cross-λ
+    coupling, so a static λ-chunk loop caps transients at ~0.3 GB, and
+    donating the state lets XLA update resid/clean in place.  Chunk
+    results are bit-identical to the whole-cube path (same per-λ op
+    sequence).
+    """
+    from .. import sampler as sm
+    from . import banded as bd
+
+    p = problem
+    L = p.L
+    chunk = 256
+    fsf = p.fsf.astype(state.resid.dtype)
+
+    # phase A: LR[λ] = Σ_uv R_d·resid·w, chunked
+    parts = []
+    for lo in range(0, L, chunk):
+        hi = min(L, lo + chunk)
+        R_c = pattern_field_response(d, fsf[lo:hi])
+        w_c = p.w_pad[lo:hi].astype(state.resid.dtype)
+        parts.append(jnp.einsum(
+            "luv,luv->l", R_c, state.resid[lo:hi] * w_c,
+            precision=jax.lax.Precision.HIGHEST,
+        ))
+    LR = jnp.concatenate(parts)
+
+    b = sm._lsf_apply_T_lastaxis(LR[None], p.lsf)[0]
+    noise = jax.random.normal(key, (p.L,), dtype=LR.dtype)
+    delta = bd.sample_conditional(R, b, noise)
+    g = sm._lsf_apply_lastaxis(delta[None], p.lsf)[0]
+    dchi = jnp.sum(g * g * QR - 2.0 * g * LR, dtype=jnp.float32)
+
+    # phase B: commit, chunked in place (donated buffers)
+    resid, clean = state.resid, state.clean
+    for lo in range(0, L, chunk):
+        hi = min(L, lo + chunk)
+        R_c = pattern_field_response(d, fsf[lo:hi])
+        resid = resid.at[lo:hi].add(-g[lo:hi, None, None] * R_c)
+        clean = clean.at[lo:hi].add(
+            (delta[lo:hi, None, None] * d[None]).astype(clean.dtype)
+        )
     y = dchi - state.chi2_comp
     t = state.chi2 + y
     chi2c = (t - state.chi2) - y
@@ -358,11 +430,21 @@ def coarse_pass(problem, state, constants, key, scale_mult: float = 2.4):
     a fixed sequence of valid MH kernels ('anchor') / exact Gibbs draws
     along global directions ('global').
     """
+    # On huge fields, use the λ-chunked in-place pass and serialize the
+    # per-pattern calls: the whole-cube pass queues ~5.6 GB of transients
+    # each, and the lazy dispatch backend keeps consecutive patterns'
+    # working sets live at once (the same rule as pallas_tiled's segment
+    # loop).
+    big = state.resid.nbytes > 2**28
     for entry in constants:
         key, sub = jax.random.split(key)
         if entry[0] == "global":
             _, d, QR, R = entry
-            state = _global_pass_one(problem, state, d, QR, R, sub)
+            if big:
+                state = _global_pass_one_big(problem, state, d, QR, R, sub)
+                jax.block_until_ready(state.chi2)
+            else:
+                state = _global_pass_one(problem, state, d, QR, R, sub)
         else:
             _, pat, R, quad_r, valid_r = entry
             state = _pattern_pass(

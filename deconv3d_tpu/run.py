@@ -100,12 +100,30 @@ class Run:
                 np.asarray(jax.devices()[:spatial_mesh]), ("sp",)
             )
         self.spatial_mesh = spatial_mesh
+        self._spatial_chains = False
         if spatial_mesh is not None and n_chains != 1:
-            raise ValueError(
-                "spatial_mesh shards ONE chain over devices; combine with "
-                "n_chains=1 (chain parallelism uses `mesh` instead)."
+            # chains × spatial composition: a 2-D mesh whose FIRST axis
+            # carries one chain per row, each row Y-sharding its chain's
+            # sweep at kernel rate (parallel/kernel_sharded.py).
+            names = tuple(getattr(spatial_mesh, "axis_names", ()))
+            ok = (
+                len(names) == 2
+                and spatial_mesh.shape[names[0]] == n_chains
+                and sampler in ("mh", "gibbs")
+                and not positivity
+                and engine != "jnp"
+                and not coarse_every
             )
-        self._spatial_kernel = False
+            if not ok:
+                raise ValueError(
+                    "n_chains>1 with spatial_mesh needs the chains × "
+                    "spatial composition: a 2-D mesh (chains_axis, "
+                    "spatial_axis) with shape[0] == n_chains, sampler "
+                    "'mh'/'gibbs', no positivity/coarse_every, and a "
+                    "kernel engine.  For plain chain parallelism use "
+                    "`mesh` instead."
+                )
+            self._spatial_chains = True
         if spatial_mesh is not None and engine != "jnp":
             if sampler in ("mh", "gibbs") and not positivity:
                 # kernel-rate sharded sampling (parallel/kernel_sharded.py):
@@ -177,7 +195,18 @@ class Run:
         while done < total:
             n = min(seg, total - done)
             t0 = time.time()
-            if self.spatial_mesh is not None:
+            if self._spatial_chains:
+                from .parallel.kernel_sharded import (
+                    run_chains_kernel_sharded,
+                )
+
+                names = tuple(self.spatial_mesh.axis_names)
+                mc = run_chains_kernel_sharded(
+                    self.problem, self.n_chains, n, self.spatial_mesh,
+                    states=self.states, chain_axis=names[0],
+                    axis_name=names[1],
+                )
+            elif self.spatial_mesh is not None:
                 if self._spatial_kernel and self.problem.fsf_spec is not None:
                     from .parallel.kernel_sharded import (
                         run_sweeps_kernel_sharded as _sharded_sweeps,

@@ -76,6 +76,25 @@ class TestOperators:
         np.testing.assert_allclose(G, np.eye(4), atol=1e-10)
 
 
+def test_global_pass_big_matches_whole_cube(rng):
+    """The λ-chunked in-place pass (huge-field path) is bit-identical to
+    the whole-cube pass — L=300 exercises two full chunks + a remainder."""
+    cube, inst, _ = _make_toy(rng, L=300, Y=10, X=10, noise=0.2)
+    cfg = sm.RunConfig(max_iterations=10, seed=1, fsf_size=5, lsf_width=5)
+    p = sm.make_problem(cube, inst, cfg)
+    st = sm.init_state(p)
+    consts = co.global_constants(p)
+    assert consts
+    _, d, QR, R = consts[0]
+    key = jax.random.PRNGKey(7)
+    a = co._global_pass_one(p, st, d, QR, R, key)
+    b = co._global_pass_one_big(p, st, d, QR, R, key)
+    np.testing.assert_array_equal(np.asarray(a.resid), np.asarray(b.resid))
+    np.testing.assert_array_equal(np.asarray(a.clean), np.asarray(b.clean))
+    assert float(a.chi2) == float(b.chi2)
+    assert float(a.n_accept) == float(b.n_accept)
+
+
 def test_global_pass_on_tiled_problem(rng, monkeypatch):
     """mode='global' constants + pass on a pallas_tiled-built problem
     (bf16 w_pad, quad dropped) — the configuration full-field runs use.

@@ -249,6 +249,37 @@ def test_run_facade_spatial_mesh_kernel_rate_end_to_end(rng):
     assert float(np.asarray(r.states.n_accept).sum()) > 0
 
 
+def test_run_facade_chains_times_spatial(rng):
+    """Run(n_chains=2, spatial_mesh=<2-D mesh>) routes the chains ×
+    kernel-rate spatial composition; invalid combinations raise."""
+    import pytest
+    from jax.sharding import Mesh
+
+    from deconv3d_tpu import Run
+
+    f, L = 5, 16
+    Y, X = 4 * f, 2 * f
+    truth = rng.standard_normal((L, Y, X)).astype(np.float32)
+    cube = Cube.from_data(truth, variance=np.ones_like(truth),
+                          crval=4750.0, cdelt=1.25)
+    inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.5),
+                          lsf=ins.GaussianLSF(fwhm=2.0))
+    mesh2d = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                  ("chains", "sp"))
+    r = Run(cube, inst, spatial_mesh=mesh2d, n_chains=2,
+            engine="pallas_tiled", max_iterations=4, burn_in=1,
+            fsf_size=f, lsf_width=5)
+    assert r._spatial_chains
+    r.run()
+    assert r.sweeps_done == 4
+    assert np.isfinite(r.chi2)
+    assert np.asarray(r.states.clean).shape[0] == 2
+    assert float(np.asarray(r.states.n_accept).sum()) > 0
+    with pytest.raises(ValueError, match="composition"):
+        Run(cube, inst, spatial_mesh=mesh2d, n_chains=3,
+            max_iterations=4, fsf_size=f, lsf_width=5)
+
+
 def test_sharded_sweep_rejects_tiled_problem(rng, monkeypatch):
     """A pallas_tiled Problem (quad=None) must raise a clear error, not an
     AttributeError deep inside shard_map."""
