@@ -124,6 +124,7 @@ class Run:
                     "`mesh` instead."
                 )
             self._spatial_chains = True
+        self._spatial_kernel = False
         if spatial_mesh is not None and engine != "jnp":
             if sampler in ("mh", "gibbs") and not positivity:
                 # kernel-rate sharded sampling (parallel/kernel_sharded.py):
