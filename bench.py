@@ -114,6 +114,32 @@ def main() -> None:
     ess_per_sec["gibbs_block"] = (
         chn.effective_sample_size(np.asarray(rb.flux_trace)) / dt_b
     )
+
+    # mixing payoff of the global coarse passes (VERDICT r2 next #8): the
+    # blur-null directions single-site MH random-walks through are exactly
+    # what the exact global-pattern draws traverse — visible on the
+    # per-VOXEL monitors (flux is blur-preserved, so it barely moves).
+    def voxel_ess_ps(r, dt):
+        mon = np.asarray(r.monitor_trace)                  # [n, k]
+        ess = [
+            chn.effective_sample_size(mon[:, k2])
+            for k2 in range(mon.shape[1])
+        ]
+        return float(np.mean(ess)) / dt
+    cfg_c = sm.RunConfig(max_iterations=10_000, burn_in=500, seed=0,
+                         coarse_every=8, coarse_mode="global")
+    pc = sm.make_problem(cube, inst, cfg_c)
+    rc = sm.run_sweeps(pc, sm.init_state(pc), 512)         # warm + adapt
+    jax.block_until_ready(rc.state.clean)
+    n_c = 512
+    t0 = time.perf_counter()
+    rc = sm.run_sweeps(pc, rc.state, n_c)
+    jax.block_until_ready(rc.state.clean)
+    dt_c = time.perf_counter() - t0
+    voxel_ess = {
+        "mh": voxel_ess_ps(res, dt),
+        "mh_coarse": voxel_ess_ps(rc, dt_c),
+    }
     result = {
         "metric": "gibbs_sweeps_per_sec_muse_30x30x600",
         "value": round(sweeps_per_sec, 2),
@@ -138,6 +164,12 @@ def main() -> None:
         "chains32_vs_single": round(mc_aggregate / gibbs_sps, 2),
         "chains32_mh_aggregate_sweeps_per_sec": round(mc_agg["mh"], 1),
         "chains32_mh_vs_single": round(mc_agg["mh"] / sweeps_per_sec, 2),
+        "voxel_ess_per_sec_mh": round(voxel_ess["mh"], 3),
+        "voxel_ess_per_sec_mh_coarse": round(voxel_ess["mh_coarse"], 3),
+        "coarse_voxel_ess_speedup": round(
+            voxel_ess["mh_coarse"] / max(voxel_ess["mh"], 1e-12), 2
+        ),
+        "mh_coarse_sweeps_per_sec": round(n_c / dt_c, 2),
         "flux_ess_per_sec_mh": round(ess_per_sec["mh"], 2),
         "flux_ess_per_sec_gibbs": round(ess_per_sec["gibbs"], 2),
         "flux_ess_per_sec_gibbs_block": round(

@@ -220,54 +220,13 @@ def run_chains(
 
 
 def _run_chains_coarse(problem, n_chains, n_sweeps, mesh, states, axis_name):
-    from .ops.coarse import coarse_constants, coarse_pass
-
-    cfg = problem.config
-    every = int(cfg.coarse_every)
-    constants = coarse_constants(problem, cfg.coarse_mode)
-
-    def batched_pass(sts):
-        sweep0 = sts.sweep[0]
-        keys = jax.vmap(
-            lambda k: jax.random.fold_in(k, sweep0)
-        )(sts.key)
-        return jax.vmap(
-            lambda s, k: coarse_pass(
-                problem, s, constants, k,
-                scale_mult=float(cfg.coarse_scale),
-            )
-        )(sts, keys)
-
-    parts = []
-    cur = states
-    left = n_sweeps
-    while left > 0:
-        done = int(np.asarray(cur.sweep[0]))
-        k = min(left, every - (done % every))
-        mc = _run_chains_once(problem, n_chains, k, mesh, cur, axis_name)
-        cur = mc.result.state
-        if int(np.asarray(cur.sweep[0])) % every == 0:
-            cur = batched_pass(cur)
-            mc = MultiChainResult(
-                result=dataclasses.replace(mc.result, state=cur)
-            )
-        parts.append(mc.result)
-        left -= k
-    if len(parts) == 1:
-        return MultiChainResult(result=parts[0])
-    return MultiChainResult(
-        result=sm.ChainResult(
-            state=cur,
-            chi2_trace=jnp.concatenate([r.chi2_trace for r in parts], axis=1),
-            accept_trace=jnp.concatenate(
-                [r.accept_trace for r in parts], axis=1
-            ),
-            flux_trace=jnp.concatenate([r.flux_trace for r in parts], axis=1),
-            monitor_trace=jnp.concatenate(
-                [r.monitor_trace for r in parts], axis=1
-            ),
-        )
-    )
+    return MultiChainResult(result=sm.coarse_interleave(
+        problem, states, n_sweeps,
+        lambda s, k: _run_chains_once(
+            problem, n_chains, k, mesh, s, axis_name
+        ).result,
+        batched=True,
+    ))
 
 
 def _run_chains_once(problem, n_chains, n_sweeps, mesh, states, axis_name):

@@ -656,7 +656,34 @@ def run_sweeps_kernel_sharded(
     'pallas' (default on TPU — the fused tiled kernel per band) or 'jnp'
     (masked jnp color steps; the CPU-mesh test path).  Input/output state
     uses the standard single-device layout.
+
+    With ``coarse_every`` set, coarse pattern passes (ops/coarse.py)
+    interleave at absolute-sweep boundaries exactly as on the single-device
+    engines: state crosses this entry point in standard layout, so the
+    plain-jnp pass composes unchanged (the sub-segment lengths add at most
+    two extra compile variants of the sharded program — leading/trailing
+    partials — on top of the steady-state ``coarse_every``-sweep one).
     """
+    if problem.config.coarse_every:
+        return sm.coarse_interleave(
+            problem, state, n_sweeps,
+            lambda s, k: _run_sweeps_kernel_inner(
+                problem, s, k, mesh, axis_name, interior
+            ),
+        )
+    return _run_sweeps_kernel_inner(
+        problem, state, n_sweeps, mesh, axis_name, interior
+    )
+
+
+def _run_sweeps_kernel_inner(
+    problem: sm.Problem,
+    state: sm.SamplerState,
+    n_sweeps: int,
+    mesh: Mesh,
+    axis_name: str,
+    interior: str | None,
+) -> sm.ChainResult:
     p = problem
     cfg = p.config
     interior = _check_kernel_shardable(p, mesh, axis_name, interior)
@@ -744,17 +771,46 @@ def run_chains_kernel_sharded(
 
     Returns a ``chains.MultiChainResult`` (leading chain axis), so R̂/ESS
     diagnostics work unchanged.
+
+    With ``coarse_every`` set, coarse pattern passes interleave at
+    absolute-sweep boundaries, mapped over the chain axis (all chains sit
+    at the same absolute sweep — the composition runs them in lock-step).
     """
     from .. import chains as ch
 
     p = problem
     cfg = p.config
     if cfg.coarse_every:
-        raise ValueError(
-            "coarse pattern passes do not compose with the kernel-rate "
-            "sharded path yet; drop coarse_every or use run_chains on a "
-            "chain-only mesh"
-        )
+        if states is None:
+            states = ch.init_chain_states(problem, n_chains)
+        return ch.MultiChainResult(result=sm.coarse_interleave(
+            problem, states, n_sweeps,
+            lambda s, k: _run_chains_kernel_inner(
+                problem, n_chains, k, mesh, s, chain_axis, axis_name,
+                interior,
+            ).result,
+            batched=True,
+        ))
+    return _run_chains_kernel_inner(
+        problem, n_chains, n_sweeps, mesh, states, chain_axis, axis_name,
+        interior,
+    )
+
+
+def _run_chains_kernel_inner(
+    problem: sm.Problem,
+    n_chains: int,
+    n_sweeps: int,
+    mesh: Mesh,
+    states: sm.SamplerState | None,
+    chain_axis: str,
+    axis_name: str,
+    interior: str | None,
+):
+    from .. import chains as ch
+
+    p = problem
+    cfg = p.config
     interior = _check_kernel_shardable(p, mesh, axis_name, interior)
     if chain_axis not in mesh.shape:
         raise ValueError(

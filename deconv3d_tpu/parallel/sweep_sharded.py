@@ -99,7 +99,28 @@ def run_sweeps_sharded(
     long segment).  All three sampler modes shard: 'mh' (with or without
     positivity), 'gibbs' (incl. truncated-normal positivity draws) and
     'gibbs_block' (the per-spaxel Cholesky bank shards with the rows).
+
+    With ``coarse_every`` set, coarse pattern passes interleave at
+    absolute-sweep boundaries (the state is in standard layout at this
+    entry point, so the plain-jnp pass composes unchanged).
     """
+    if problem.config.coarse_every:
+        return sm.coarse_interleave(
+            problem, state, n_sweeps,
+            lambda s, k: _run_sweeps_sharded_inner(
+                problem, s, k, mesh, axis_name
+            ),
+        )
+    return _run_sweeps_sharded_inner(problem, state, n_sweeps, mesh, axis_name)
+
+
+def _run_sweeps_sharded_inner(
+    problem: sm.Problem,
+    state: sm.SamplerState,
+    n_sweeps: int,
+    mesh: Mesh,
+    axis_name: str,
+) -> sm.ChainResult:
     p = problem
     cfg = p.config
     if cfg.sampler == "direct":

@@ -112,16 +112,14 @@ class Run:
                 and sampler in ("mh", "gibbs")
                 and not positivity
                 and engine != "jnp"
-                and not coarse_every
             )
             if not ok:
                 raise ValueError(
                     "n_chains>1 with spatial_mesh needs the chains × "
                     "spatial composition: a 2-D mesh (chains_axis, "
                     "spatial_axis) with shape[0] == n_chains, sampler "
-                    "'mh'/'gibbs', no positivity/coarse_every, and a "
-                    "kernel engine.  For plain chain parallelism use "
-                    "`mesh` instead."
+                    "'mh'/'gibbs', no positivity, and a kernel engine.  "
+                    "For plain chain parallelism use `mesh` instead."
                 )
             self._spatial_chains = True
         self._spatial_kernel = False

@@ -1101,15 +1101,37 @@ def run_sweeps(
 
 #: (weakref(problem), coarse-pass constants) per (problem id, mode):
 #: segmented drives (Run.run, fullfield_drive's 1-sweep segments) call
-#: _run_sweeps_coarse hundreds of times, and rebuilding the constants
+#: coarse_interleave hundreds of times, and rebuilding the constants
 #: costs full-field convolutions each time; the weakref validates the
 #: entry against problem-id recycling.
 _COARSE_CONST_CACHE: dict = {}
 
 
-def _run_sweeps_coarse(
-    problem: Problem, state: SamplerState, n_sweeps: int
+def coarse_interleave(
+    problem: Problem,
+    state: SamplerState,
+    n_sweeps: int,
+    inner,
+    batched: bool = False,
 ) -> ChainResult:
+    """Run ``inner(state, k)`` segments split at coarse-pass boundaries.
+
+    Generic composition of ANY sweep engine with the coarse pattern passes
+    (ops/coarse.py): ``inner`` advances the chain ``k`` sweeps and returns a
+    ``ChainResult``; this wrapper splits ``n_sweeps`` at absolute-sweep
+    multiples of ``coarse_every`` and applies one coarse pass at each
+    boundary, so ANY segmentation/resume applies the passes at identical
+    points with identical keys.  Used by the single-device engines
+    (run_sweeps), chain parallelism (chains.run_chains) and the sharded
+    paths (parallel/kernel_sharded, parallel/sweep_sharded) — the sharded
+    entry points hand standard-layout state across this boundary, so the
+    plain-jnp coarse pass composes unchanged.
+
+    ``batched``: state carries a leading chain axis; the coarse pass maps
+    over chains (vmap normally; a serial host loop on huge per-chain states,
+    where vmapping the λ-chunked in-place pass would hold every chain's
+    GB-scale transients live at once).
+    """
     import weakref
 
     from .ops.coarse import coarse_constants, coarse_pass
@@ -1128,20 +1150,41 @@ def _run_sweeps_coarse(
             coarse_constants(problem, cfg.coarse_mode),
         )
     constants = _COARSE_CONST_CACHE[ckey][1]
+    mult = float(cfg.coarse_scale)
+
+    def one_pass(s, key):
+        return coarse_pass(problem, s, constants, key, scale_mult=mult)
+
+    def apply_pass(cur):
+        if not batched:
+            return one_pass(cur, jax.random.fold_in(cur.key, cur.sweep))
+        sweep0 = cur.sweep[0]
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, sweep0))(cur.key)
+        n_ch = cur.resid.shape[0]
+        if cur.resid.nbytes // n_ch > 2**28:
+            outs = [
+                one_pass(
+                    jax.tree_util.tree_map(lambda x, c=c: x[c], cur),
+                    keys[c],
+                )
+                for c in range(n_ch)
+            ]
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *outs
+            )
+        return jax.vmap(one_pass)(cur, keys)
+
+    axis = 1 if batched else 0
     parts = []
     cur = state
     left = n_sweeps
     while left > 0:
-        done = int(np.asarray(cur.sweep))
+        done = int(np.asarray(cur.sweep).ravel()[0])
         k = min(left, every - (done % every))
-        r = _engine_run_sweeps(problem, cur, k)
+        r = inner(cur, k)
         cur = r.state
-        if int(np.asarray(cur.sweep)) % every == 0:
-            key = jax.random.fold_in(cur.key, cur.sweep)
-            cur = coarse_pass(
-                problem, cur, constants, key,
-                scale_mult=float(cfg.coarse_scale),
-            )
+        if int(np.asarray(cur.sweep).ravel()[0]) % every == 0:
+            cur = apply_pass(cur)
             r = dataclasses.replace(r, state=cur)
         parts.append(r)
         left -= k
@@ -1149,10 +1192,21 @@ def _run_sweeps_coarse(
         return parts[0]
     return ChainResult(
         state=cur,
-        chi2_trace=jnp.concatenate([r.chi2_trace for r in parts]),
-        accept_trace=jnp.concatenate([r.accept_trace for r in parts]),
-        flux_trace=jnp.concatenate([r.flux_trace for r in parts]),
-        monitor_trace=jnp.concatenate([r.monitor_trace for r in parts]),
+        chi2_trace=jnp.concatenate([r.chi2_trace for r in parts], axis),
+        accept_trace=jnp.concatenate([r.accept_trace for r in parts], axis),
+        flux_trace=jnp.concatenate([r.flux_trace for r in parts], axis),
+        monitor_trace=jnp.concatenate(
+            [r.monitor_trace for r in parts], axis
+        ),
+    )
+
+
+def _run_sweeps_coarse(
+    problem: Problem, state: SamplerState, n_sweeps: int
+) -> ChainResult:
+    return coarse_interleave(
+        problem, state, n_sweeps,
+        lambda s, k: _engine_run_sweeps(problem, s, k),
     )
 
 

@@ -220,11 +220,109 @@ def test_chains_compose_rejections(rng, monkeypatch):
         run_chains_kernel_sharded(
             p, 2, 2, mesh2d, chain_axis="zz", interior="jnp"
         )
+
+
+def _coarse_problem(rng, monkeypatch, every=3):
+    return _problem(
+        rng, monkeypatch=monkeypatch, coarse_every=every,
+        coarse_mode="global",
+    )
+
+
+def test_coarse_composes_with_kernel_sharded(rng, monkeypatch):
+    """coarse_every through the kernel-rate sharded path == manually
+    interleaving inner sharded segments with the plain-jnp coarse pass
+    (bit-exact: same programs, same keys)."""
     import dataclasses as dc
 
-    pc = dc.replace(p, config=dc.replace(p.config, coarse_every=3))
-    with pytest.raises(ValueError, match="coarse"):
-        run_chains_kernel_sharded(pc, 2, 2, mesh2d, interior="jnp")
+    from deconv3d_tpu.ops import coarse as co
+    from deconv3d_tpu.parallel.kernel_sharded import (
+        _run_sweeps_kernel_inner,
+    )
+
+    pc = _coarse_problem(rng, monkeypatch, every=3)
+    state0 = sm.init_state(pc)
+    mesh = _mesh(2)
+    res = run_sweeps_kernel_sharded(pc, state0, 9, mesh, interior="jnp")
+
+    consts = co.coarse_constants(pc, "global")
+    cur = state0
+    for _ in range(3):
+        cur = _run_sweeps_kernel_inner(pc, cur, 3, mesh, "sp", "jnp").state
+        key = jax.random.fold_in(cur.key, cur.sweep)
+        cur = co.coarse_pass(
+            pc, cur, consts, key, scale_mult=float(pc.config.coarse_scale)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(res.state.clean), np.asarray(cur.clean)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.state.resid), np.asarray(cur.resid)
+    )
+    assert float(res.state.chi2) == float(cur.chi2)
+    # coarse proposals actually landed on top of the fine ones (n_propose
+    # grew by 3 global draws × L each beyond the fine sweeps' count)
+    pf = dc.replace(pc, config=dc.replace(pc.config, coarse_every=None))
+    fine = _run_sweeps_kernel_inner(pf, state0, 9, mesh, "sp", "jnp")
+    assert float(res.state.n_propose) > float(fine.state.n_propose)
+    # invariant survives the composition
+    st = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x)), res.state
+    )
+    assert _invariant_err(pc, st) < 3e-5
+    chi_r, chi_f = float(st.chi2), float(sm.full_chi2(pc, st))
+    assert abs(chi_r - chi_f) / max(chi_f, 1.0) < 2e-5
+
+
+def test_coarse_kernel_sharded_segmentation_bit_exact(rng, monkeypatch):
+    """Any segmentation applies the coarse passes at identical absolute
+    sweeps with identical keys: 4+5 == 9, bit-for-bit."""
+    pc = _coarse_problem(rng, monkeypatch, every=3)
+    state0 = sm.init_state(pc)
+    mesh = _mesh(2)
+    mono = run_sweeps_kernel_sharded(pc, state0, 9, mesh, interior="jnp")
+    part = run_sweeps_kernel_sharded(pc, state0, 4, mesh, interior="jnp")
+    part2 = run_sweeps_kernel_sharded(
+        pc, part.state, 5, mesh, interior="jnp"
+    )
+    assert bool(jnp.array_equal(mono.state.clean, part2.state.clean))
+    assert bool(jnp.array_equal(mono.state.resid, part2.state.resid))
+    assert float(mono.state.chi2) == float(part2.state.chi2)
+
+
+def test_coarse_composes_chains_times_spatial(rng, monkeypatch):
+    """coarse_every on the 2-D (chains × spatial) mesh: each chain is
+    bit-exact vs running it ALONE (sharded + coarse) on an equal spatial
+    mesh — the batched coarse pass derives chain i's key exactly as the
+    single-chain path does."""
+    from deconv3d_tpu import chains as ch
+    from deconv3d_tpu.parallel.kernel_sharded import (
+        run_chains_kernel_sharded,
+    )
+
+    pc = _coarse_problem(rng, monkeypatch, every=3)
+    states = ch.init_chain_states(pc, 2)
+    mesh2d = Mesh(
+        np.asarray(jax.devices()[:4]).reshape(2, 2), ("ch", "sp")
+    )
+    mc = run_chains_kernel_sharded(
+        pc, 2, 7, mesh2d, states=states, interior="jnp"
+    )
+    st = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x)), mc.result.state
+    )
+    for i in range(2):
+        st_i = jax.tree_util.tree_map(lambda x, i=i: x[i], states)
+        ref = run_sweeps_kernel_sharded(
+            pc, st_i, 7, _mesh(2), interior="jnp"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st.clean[i]), np.asarray(ref.state.clean)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st.resid[i]), np.asarray(ref.state.resid)
+        )
+        assert float(st.chi2[i]) == float(ref.state.chi2)
 
 
 def test_rejects_wrong_configs(rng, monkeypatch):
