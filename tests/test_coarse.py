@@ -85,14 +85,76 @@ def test_global_pass_big_matches_whole_cube(rng):
     st = sm.init_state(p)
     consts = co.global_constants(p)
     assert consts
-    _, d, QR, R = consts[0]
+    _, d_stack, QR, chols, C = consts[0]
     key = jax.random.PRNGKey(7)
-    a = co._global_pass_one(p, st, d, QR, R, key)
-    b = co._global_pass_one_big(p, st, d, QR, R, key)
+    a = co._global_pass_batch(
+        p, sm.init_state(p), d_stack, QR, chols, C, key, chunk=p.L
+    )
+    b = co._global_pass_batch(
+        p, st, d_stack, QR, chols, C, key, chunk=128
+    )
     np.testing.assert_array_equal(np.asarray(a.resid), np.asarray(b.resid))
     np.testing.assert_array_equal(np.asarray(a.clean), np.asarray(b.clean))
     assert float(a.chi2) == float(b.chi2)
     assert float(a.n_accept) == float(b.n_accept)
+
+
+def test_global_batch_cross_update_is_exact(rng):
+    """The [L]-vector cross-update (LR_j ← LR_j − g_i·C[i,j]) must equal
+    re-deriving LR from the committed residual: draw with the batched pass,
+    then recompute every LR from scratch on the OUTPUT residual and check
+    the pass's own post-commit linear terms would match (equivalently: the
+    invariant data − resid == conv(clean) and chi² consistency hold, and a
+    second pass from the committed state agrees with from-scratch LRs)."""
+    cube, inst, _ = _make_toy(rng, L=40, Y=10, X=10, noise=0.2)
+    cfg = sm.RunConfig(
+        max_iterations=10, seed=1, fsf_size=5, lsf_width=5,
+        dtype=np.float64,
+    )
+    p = sm.make_problem(cube, inst, cfg)
+    st = sm.init_state(p)
+    consts = co.global_constants(p)
+    _, d_stack, QR, chols, C = consts[0]
+    k = d_stack.shape[0]
+    # C's definition: C[i,j,λ] = Σ_uv R_i·R_j·w (oracle)
+    fsf = p.fsf.astype(jnp.float64)
+    R_all = co.batched_field_response(d_stack, fsf)
+    w = p.w_pad.astype(jnp.float64)
+    C_want = np.einsum(
+        "iluv,jluv->ijl", np.asarray(R_all), np.asarray(R_all * w[None])
+    )
+    np.testing.assert_allclose(
+        np.asarray(C), C_want, rtol=1e-10,
+        atol=1e-10 * np.abs(C_want).max(),
+    )
+    # after a full pass, LR recomputed from the committed residual matches
+    # LR_start − Σ_i g_i·C[i,·] — i.e. the in-vector conditioning tracked
+    # the cube exactly
+    LR0 = np.einsum(
+        "kluv,luv->kl", np.asarray(R_all),
+        np.asarray(st.resid * w),
+    )
+    st2 = co._global_pass_batch(
+        p, st, d_stack, QR, chols, C, jax.random.PRNGKey(3), chunk=p.L
+    )
+    LR1 = np.einsum(
+        "kluv,luv->kl", np.asarray(R_all), np.asarray(st2.resid * w)
+    )
+    # reconstruct the g draws from the clean delta: δ_i spectra satisfy
+    # clean2 − clean = Σ_i δ_i·d_i; project with the orthonormal patterns
+    dclean = np.asarray(st2.clean - st.clean)         # [L, Yc, Xc]
+    dn = np.asarray(d_stack)
+    M = np.einsum("kyx,jyx->kj", dn, dn)              # Gram (valid mask)
+    proj = np.einsum("kyx,lyx->kl", dn, dclean)
+    delta = np.linalg.solve(M, proj)                  # [k, L]
+    g = np.stack([
+        np.asarray(sm._lsf_apply_lastaxis(
+            jnp.asarray(delta[i])[None], p.lsf
+        )[0])
+        for i in range(k)
+    ])
+    want = LR0 - np.einsum("il,ijl->jl", g, np.asarray(C))
+    np.testing.assert_allclose(LR1, want, rtol=2e-7, atol=1e-6 * np.abs(LR0).max())
 
 
 def test_global_pass_on_tiled_problem(rng, monkeypatch):
@@ -105,7 +167,7 @@ def test_global_pass_on_tiled_problem(rng, monkeypatch):
     p = _tiled_problem(rng, monkeypatch=monkeypatch)
     st = sm.init_state(p)
     consts = co.coarse_constants(p, "global")
-    assert consts and all(e[0] == "global" for e in consts)
+    assert consts and all(e[0] == "global_batch" for e in consts)
     st2 = co.coarse_pass(p, st, consts, jax.random.PRNGKey(0))
     d_acc = float(st2.n_accept - st.n_accept)
     d_prop = float(st2.n_propose - st.n_propose)
