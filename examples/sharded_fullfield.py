@@ -54,11 +54,14 @@ if n_dev >= 2:
           f"{run_sp.chi2 / truth.size:.3f}")
 
 # --- 3. the v5e-8 production topology: 2 chains × (n_dev//2)-way spatial --
+# coarse_every composes with every topology: globally-coherent pattern
+# passes (exact Gibbs along the blur-null directions) interleave at
+# absolute-sweep boundaries on each chain.
 if n_dev >= 4:
     mesh2d = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
                   ("chains", "sp"))
     run_2d = d3d.Run(cube, inst, n_chains=2, spatial_mesh=mesh2d,
-                     engine="pallas_tiled", **kw)
+                     engine="pallas_tiled", coarse_every=8, **kw)
     run_2d.run()
     print("chains×spatial: chi2/dof "
           f"{run_2d.chi2 / truth.size:.3f}  "
