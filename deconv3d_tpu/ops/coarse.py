@@ -272,118 +272,28 @@ def _global_pass_batch(problem, state, d_stack, QR, chols, C, key, chunk):
     one-pattern-at-a-time passes this is 4× less conv work and 8× less
     cube traffic per pass (measured 2.2× end-to-end at full field).
 
-    λ-chunking keeps full-MUSE-field transients bounded, and the chunks
-    are dispatched from the HOST with a sync between them: a single jit
-    over all chunks lets XLA's static buffer assignment keep several
-    chunks' ~0.4 GB response transients live at once, which pushed a
-    full-field pass over the HBM line (observed RESOURCE_EXHAUSTED).
-    Chunk results are bit-identical to the whole-cube path (no per-λ op
-    crosses a chunk boundary; CI asserts it).  ONLY the two cube buffers
-    are donated — donating the whole state would delete the RNG-key
-    buffer, which callers share across states (the kernel engines keep
-    ``key`` constant and thread it through every segment; a whole-state
-    donation broke exactly that on TPU).
+    λ-chunking keeps full-MUSE-field transients bounded WITHOUT host
+    round-trips: the full chunks run under a ``lax.fori_loop`` whose body
+    transients XLA buffer-assigns ONCE and reuses every iteration, so only
+    one chunk's ~0.4 GB response is ever live (a straight-line unroll let
+    several live at once → RESOURCE_EXHAUSTED at full field; host-dispatched
+    chunks with syncs stayed inside HBM but paid ~30 tunnel round-trips per
+    pass, measured ~2× slower end-to-end).  Chunk results are bit-identical
+    to the whole-cube path (no per-λ op crosses a chunk boundary; CI
+    asserts it).  ONLY the two cube buffers are donated — donating the
+    whole state would delete the RNG-key buffer, which callers share
+    across states (the kernel engines keep ``key`` constant and thread it
+    through every segment; a whole-state donation broke exactly that on
+    TPU).
     """
-    p = problem
-    if chunk >= p.L:
-        resid, clean, chi2, chi2c, dn = _global_pass_batch_arrays(
-            problem, state.resid, state.clean, state.chi2,
-            state.chi2_comp, d_stack, QR, chols, C, key, chunk=p.L,
-        )
-        return dataclasses.replace(
-            state, resid=resid, clean=clean, chi2=chi2, chi2_comp=chi2c,
-            n_accept=state.n_accept + dn, n_propose=state.n_propose + dn,
-        )
-
-    L = p.L
-    fsf = np.asarray(p.fsf)                   # host slicing, tiny
-    dtype = state.resid.dtype
-
-    # phase A: LR[i,λ] from host-dispatched chunk reductions
-    parts = []
-    for lo in range(0, L, chunk):
-        hi = min(L, lo + chunk)
-        part = _lr_chunk(
-            d_stack, jnp.asarray(fsf[lo:hi], dtype),
-            p.w_pad[lo:hi].astype(dtype), state.resid[lo:hi],
-        )
-        jax.block_until_ready(part)
-        parts.append(part)
-    LR = jnp.concatenate(parts, axis=1)
-
-    G, D, chi2, chi2c = _global_draws(
-        p.lsf, LR, QR, chols, C, key, state.chi2, state.chi2_comp
+    resid, clean, chi2, chi2c, dn = _global_pass_batch_arrays(
+        problem, state.resid, state.clean, state.chi2, state.chi2_comp,
+        d_stack, QR, chols, C, key, chunk=min(chunk, problem.L),
     )
-
-    # phase B: host-dispatched in-place chunk commits (donated buffers)
-    resid, clean = state.resid, state.clean
-    for lo in range(0, L, chunk):
-        hi = min(L, lo + chunk)
-        resid, clean = _commit_chunk(
-            resid, clean, d_stack, jnp.asarray(fsf[lo:hi], dtype),
-            G[:, lo:hi], D[:, lo:hi], jnp.asarray(lo, jnp.int32),
-        )
-        jax.block_until_ready(clean)
-    nkL = jnp.float32(d_stack.shape[0] * L)
     return dataclasses.replace(
         state, resid=resid, clean=clean, chi2=chi2, chi2_comp=chi2c,
-        n_accept=state.n_accept + nkL, n_propose=state.n_propose + nkL,
+        n_accept=state.n_accept + dn, n_propose=state.n_propose + dn,
     )
-
-
-@jax.jit
-def _lr_chunk(d_stack, fsf_c, w_c, resid_c):
-    """LR part for one λ-chunk: Σ_uv R_i·resid·w, all patterns batched."""
-    R_c = batched_field_response(d_stack, fsf_c)
-    return jnp.einsum(
-        "kluv,luv->kl", R_c, resid_c * w_c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-@jax.jit
-def _global_draws(lsf, LR, QR, chols, C, key, chi2_in, chi2c_in):
-    """Sequential exact spectrum draws in [L]-vector space (see
-    `_global_pass_batch_arrays`); returns (G, D, chi2, chi2_comp)."""
-    from .. import sampler as sm
-    from . import banded as bd
-
-    k, L = LR.shape
-    gs, deltas = [], []
-    dchi_tot = jnp.zeros((), jnp.float32)
-    for i in range(k):
-        key, sub = jax.random.split(key)
-        b = sm._lsf_apply_T_lastaxis(LR[i][None], lsf)[0]
-        noise = jax.random.normal(sub, (L,), dtype=LR.dtype)
-        delta = bd.sample_conditional(chols[i], b, noise)
-        g = sm._lsf_apply_lastaxis(delta[None], lsf)[0]
-        dchi_tot = dchi_tot + jnp.sum(
-            g * g * QR[i] - 2.0 * g * LR[i], dtype=jnp.float32
-        )
-        if i + 1 < k:
-            LR = LR - g[None] * C[i]
-        gs.append(g)
-        deltas.append(delta)
-    y = dchi_tot - chi2c_in
-    t = chi2_in + y
-    chi2c = (t - chi2_in) - y
-    return jnp.stack(gs), jnp.stack(deltas), t, chi2c
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _commit_chunk(resid, clean, d_stack, fsf_c, G_c, D_c, lo):
-    """In-place commit of one λ-chunk of the summed pattern delta."""
-    n = fsf_c.shape[0]
-    R_c = batched_field_response(d_stack, fsf_c)
-    upd_r = jax.lax.dynamic_slice_in_dim(resid, lo, n, 0) - jnp.einsum(
-        "kl,kluv->luv", G_c, R_c, precision=jax.lax.Precision.HIGHEST
-    )
-    resid = jax.lax.dynamic_update_slice_in_dim(resid, upd_r, lo, 0)
-    upd_c = jax.lax.dynamic_slice_in_dim(clean, lo, n, 0) + jnp.einsum(
-        "kl,kyx->lyx", D_c, d_stack, precision=jax.lax.Precision.HIGHEST
-    ).astype(clean.dtype)
-    clean = jax.lax.dynamic_update_slice_in_dim(clean, upd_c, lo, 0)
-    return resid, clean
 
 
 @functools.partial(
@@ -400,18 +310,36 @@ def _global_pass_batch_arrays(
     L = p.L
     k = d_stack.shape[0]
     fsf = p.fsf.astype(resid0.dtype)
+    n_full, rem = divmod(L, chunk)
 
-    # phase A: LR[i,λ] = Σ_uv R_i·resid·w — one batched conv per chunk
-    parts = []
-    for lo in range(0, L, chunk):
-        hi = min(L, lo + chunk)
-        R_c = batched_field_response(d_stack, fsf[lo:hi])
-        w_c = p.w_pad[lo:hi].astype(resid0.dtype)
-        parts.append(jnp.einsum(
-            "kluv,luv->kl", R_c, resid0[lo:hi] * w_c,
+    # phase A: LR[i,λ] = Σ_uv R_i·resid·w — one batched conv per chunk.
+    # Full chunks run under fori_loop (ONE chunk's transients live at a
+    # time); the remainder chunk, statically shaped, runs straight-line.
+    def _lr_part(lo, size, resid):
+        fsf_c = jax.lax.dynamic_slice_in_dim(fsf, lo, size, 0)
+        w_c = jax.lax.dynamic_slice_in_dim(p.w_pad, lo, size, 0).astype(
+            resid.dtype
+        )
+        r_c = jax.lax.dynamic_slice_in_dim(resid, lo, size, 0)
+        R_c = batched_field_response(d_stack, fsf_c)
+        return jnp.einsum(
+            "kluv,luv->kl", R_c, r_c * w_c,
             precision=jax.lax.Precision.HIGHEST,
-        ))
-    LR = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        )
+
+    LR = jnp.zeros((k, L), resid0.dtype)
+    if n_full:
+        LR = jax.lax.fori_loop(
+            0, n_full,
+            lambda i, acc: jax.lax.dynamic_update_slice(
+                acc, _lr_part(i * chunk, chunk, resid0), (0, i * chunk)
+            ),
+            LR,
+        )
+    if rem:
+        LR = jax.lax.dynamic_update_slice(
+            LR, _lr_part(n_full * chunk, rem, resid0), (0, n_full * chunk)
+        )
 
     # sequential exact draws; cross-updates in [L]-vector space
     gs, deltas = [], []
@@ -433,19 +361,34 @@ def _global_pass_batch_arrays(
     D = jnp.stack(deltas)                              # [k, L]
 
     # phase B: one batched commit per chunk (linear: Σ_i of the
-    # sequential commits), donated buffers updated in place
+    # sequential commits), donated buffers updated in place; fori_loop
+    # bounds liveness exactly as in phase A
+    def _commit(lo, size, carry):
+        resid, clean = carry
+        fsf_c = jax.lax.dynamic_slice_in_dim(fsf, lo, size, 0)
+        R_c = batched_field_response(d_stack, fsf_c)
+        G_c = jax.lax.dynamic_slice_in_dim(G, lo, size, 1)
+        D_c = jax.lax.dynamic_slice_in_dim(D, lo, size, 1)
+        upd_r = jax.lax.dynamic_slice_in_dim(resid, lo, size, 0) - jnp.einsum(
+            "kl,kluv->luv", G_c, R_c, precision=jax.lax.Precision.HIGHEST
+        )
+        resid = jax.lax.dynamic_update_slice_in_dim(resid, upd_r, lo, 0)
+        upd_c = jax.lax.dynamic_slice_in_dim(clean, lo, size, 0) + jnp.einsum(
+            "kl,kyx->lyx", D_c, d_stack,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(clean.dtype)
+        clean = jax.lax.dynamic_update_slice_in_dim(clean, upd_c, lo, 0)
+        return resid, clean
+
     resid, clean = resid0, clean0
-    for lo in range(0, L, chunk):
-        hi = min(L, lo + chunk)
-        R_c = batched_field_response(d_stack, fsf[lo:hi])
-        resid = resid.at[lo:hi].add(-jnp.einsum(
-            "kl,kluv->luv", G[:, lo:hi], R_c,
-            precision=jax.lax.Precision.HIGHEST,
-        ))
-        clean = clean.at[lo:hi].add(jnp.einsum(
-            "kl,kyx->lyx", D[:, lo:hi], d_stack,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(clean.dtype))
+    if n_full:
+        resid, clean = jax.lax.fori_loop(
+            0, n_full,
+            lambda i, carry: _commit(i * chunk, chunk, carry),
+            (resid, clean),
+        )
+    if rem:
+        resid, clean = _commit(n_full * chunk, rem, (resid, clean))
 
     y = dchi_tot - chi2c_in
     t = chi2_in + y
