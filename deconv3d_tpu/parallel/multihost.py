@@ -17,11 +17,16 @@ jax-native glue so a field that ever outgrows one host can run unchanged:
     multi-host capable (every process writes its shard; restore is
     sharding-aware).
 
-Validation status (honest): this environment has ONE host with ONE chip —
-multi-host paths cannot execute here.  What is tested: single-process
-``initialize()`` + a global mesh + a psum across it (tests/test_multihost
-.py), and the N-device sharded sweeps on the virtual CPU mesh (the same
-program a multi-host mesh runs, minus DCN transport).
+Validation status: this environment has ONE host with ONE chip, so DCN
+itself cannot be exercised — but the process boundary CAN.
+tests/test_multihost_2proc.py runs TWO real OS processes (4 virtual CPU
+devices each) through ``initialize()`` + ``global_mesh()`` and the full
+sharded sweep: jax.distributed bring-up, cross-process device_put, halo
+ppermutes and psums over Gloo between process-local device groups, and a
+result that matches the single-process 8-device mesh at f64 tightness.
+That is the complete multi-host program with localhost TCP standing in
+for DCN; on a real pod the same code path selects the ICI/DCN transports.
+tests/test_multihost.py covers the single-process no-op path.
 """
 
 from __future__ import annotations
@@ -48,7 +53,11 @@ def initialize(
     without a coordinator — useful for exercising the code path in CI.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    # NB: do NOT probe jax.process_count() here — it initialises the XLA
+    # backend, after which jax.distributed.initialize can only fail (it
+    # must run before any device use).  jax.distributed.is_initialized()
+    # is the side-effect-free check.
+    if _initialized or jax.distributed.is_initialized():
         _initialized = True
         return
     kwargs = {}
