@@ -181,67 +181,6 @@ def solve_banded(R: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.moveaxis(x, 0, -1)
 
 
-def solve_transposed_banded_binned(
-    R_bin: jax.Array, bin_idx: jax.Array, b: jax.Array
-) -> jax.Array:
-    """Solve Rᵀz = b where row k's factor is ``R_bin[bin_idx[k]]``.
-
-    ``R_bin``: [B, L, lw] per-bin upper banded Cholesky factors;
-    ``bin_idx``: [K] int; ``b``: [K, L].  Equivalent to
-    ``solve_transposed_banded(R_bin[bin_idx], b)`` WITHOUT materialising the
-    [K, L, lw] gathered factor (10 GB at full-MUSE-field K·L) — each scan
-    step gathers one [K, lw] row slice from the [B, lw] table instead.
-    """
-    B, L, lw = R_bin.shape
-    p = lw - 1
-    xs = (jnp.moveaxis(R_bin, 1, 0), jnp.moveaxis(b, -1, 0))  # [L,B,lw],[L,K]
-
-    def step(carry, xs_i):
-        z_hist, r_hist = carry
-        r_row_b, bi = xs_i
-        s = bi
-        for m in range(1, p + 1):
-            # R[i-m, i] = R_bin[bin, i-m, m]
-            s = s - r_hist[m - 1][:, m][bin_idx] * z_hist[m - 1]
-        zi = s / r_row_b[:, 0][bin_idx]
-        new_z = tuple([zi] + [z_hist[m] for m in range(p - 1)]) if p else ()
-        new_r = (
-            tuple([r_row_b] + [r_hist[m] for m in range(p - 1)]) if p else ()
-        )
-        return (new_z, new_r), zi
-
-    z0 = tuple(jnp.zeros_like(b[:, 0]) for _ in range(p))
-    r0 = tuple(jnp.zeros_like(R_bin[:, 0, :]) for _ in range(p))
-    _, z = jax.lax.scan(step, (z0, r0), xs)
-    return jnp.moveaxis(z, 0, -1)
-
-
-def solve_banded_binned(
-    R_bin: jax.Array, bin_idx: jax.Array, b: jax.Array
-) -> jax.Array:
-    """Solve Rx = b with per-bin factors (see solve_transposed_banded_binned).
-
-    Backward substitution only needs the CURRENT row's bands
-    (R[i, i+m] = R_bin[bin, i, m]), so no factor history is carried.
-    """
-    B, L, lw = R_bin.shape
-    p = lw - 1
-    xs = (jnp.moveaxis(R_bin, 1, 0), jnp.moveaxis(b, -1, 0))
-
-    def step(x_hist, xs_i):
-        r_row_b, bi = xs_i
-        s = bi
-        for m in range(1, p + 1):
-            s = s - r_row_b[:, m][bin_idx] * x_hist[m - 1]
-        xi = s / r_row_b[:, 0][bin_idx]
-        new_x = tuple([xi] + [x_hist[m] for m in range(p - 1)]) if p else ()
-        return new_x, xi
-
-    x0 = tuple(jnp.zeros_like(b[:, 0]) for _ in range(p))
-    _, x = jax.lax.scan(step, x0, xs, reverse=True)
-    return jnp.moveaxis(x, 0, -1)
-
-
 def sample_conditional(
     R: jax.Array, b: jax.Array, noise: jax.Array
 ) -> jax.Array:

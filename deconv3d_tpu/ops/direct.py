@@ -32,9 +32,12 @@ bands — fine through cut-out scale (hundreds of MB).  Above
 automatically to the **radially-binned** variant (VERDICT r2 next #6): the
 MUSE FSFs are isotropic, so |F̂_k(λ)|² depends almost only on |k| — the
 per-frequency λ-banded factors collapse onto ~256 radial bins
-([B, L, lw] ≈ 56 MB), and the per-frequency solves gather their factor
-rows from the bin table inside the L-scan (banded.solve_*_binned) instead
-of materialising the dense table.  Within-bin power variation costs CG
+([B, L, lw] ≈ 56 MB).  The solves stay gather-free: frequencies are
+equal-count quantile-binned and SORTED by bin (a static permutation), so
+every bin is a same-size [M, L] block solved by the ordinary batched
+banded solvers against ``R_bin[:, None]`` via broadcasting
+(_make_radial_preconditioner; a per-step-gather variant measured minutes
+per iteration and was rejected).  Within-bin power variation costs CG
 iterations, not correctness.  ``direct_precond='jacobi'`` remains the
 structure-free fallback.  Positivity is rejected (the truncated joint
 Gaussian has no closed form).
@@ -153,7 +156,8 @@ def make_preconditioner(problem, mode: str | None = None):
     free = _free_mask(p)
     lw = int(p.lsf.shape[1])
     if mode == "banded":
-        dense_bytes = p.Y * (p.X // 2 + 1) * p.L * lw * 4
+        itemsize = np.dtype(p.config.dtype).itemsize  # f64 tables are 2×
+        dense_bytes = p.Y * (p.X // 2 + 1) * p.L * lw * itemsize
         if dense_bytes > BANDED_BYTES_BUDGET:
             import logging
 

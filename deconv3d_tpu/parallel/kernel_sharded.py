@@ -68,10 +68,43 @@ from ..ops.pallas_sweep import _from_color_layout, _pad_lanes
 from .sweep_sharded import overlap_shard, overlap_unshard
 
 
-#: (weakref(problem), compiled sharded program + shard constants), keyed by
-#: (id(problem), mesh, axis_name, n_sweeps, interior[, chain_axis]); the
-#: weakref validates the entry against problem-id recycling.
-_PROGRAM_CACHE: dict = {}
+#: Two-level cache.  The GB-scale shard constants (window weights, quad /
+#: qvox band stacks) depend only on (problem, shard count, interior) — ONE
+#: copy serves every segment length and both the 1-D and chains×sp meshes.
+#: The jitted program is additionally specialized on (mesh, n_sweeps,
+#: chain_axis): scan length and adapt/keep shapes bake into the jaxpr, so
+#: coarse-interleaved runs legitimately hold a few small program variants
+#: (leading/steady/trailing segment lengths) over the SAME constants.
+#: Values are (weakref(problem), payload): id() alone is unsafe as a key —
+#: a freed problem's id can be recycled — and dead entries are evicted on
+#: every miss so sequential problems don't pin dead constants in HBM.
+_CONSTS_CACHE: dict = {}    # (id(p), ndev, interior) -> (band_geo, Wpa_g, consts)
+_PROGRAM_CACHE: dict = {}   # (id(p), mesh, axis, n_sweeps, interior, chain_axis)
+
+
+def _evict_dead():
+    for cache in (_CONSTS_CACHE, _PROGRAM_CACHE):
+        for k in [k for k, v in cache.items() if v[0]() is None]:
+            del cache[k]
+
+
+def _cached_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None):
+    """(sharded, consts, Wpa_g) through the two-level cache."""
+    _evict_dead()
+    ndev = mesh.shape[axis_name]
+    skey = (id(p), ndev, interior)
+    ent = _CONSTS_CACHE.get(skey)
+    if ent is None or ent[0]() is not p:
+        _CONSTS_CACHE[skey] = (weakref.ref(p), _build_consts(p, ndev, interior))
+    band_geo, Wpa_g, consts = _CONSTS_CACHE[skey][1]
+    pkey = (id(p), mesh, axis_name, int(n_sweeps), interior, chain_axis)
+    ent = _PROGRAM_CACHE.get(pkey)
+    if ent is None or ent[0]() is not p:
+        _PROGRAM_CACHE[pkey] = (weakref.ref(p), _build_program(
+            p, mesh, axis_name, int(n_sweeps), interior,
+            chain_axis=chain_axis, band_plan=(band_geo, Wpa_g),
+        ))
+    return _PROGRAM_CACHE[pkey][1], consts, Wpa_g
 
 
 def _strided_cols(arr_rc, cx, nx, f):
@@ -95,26 +128,12 @@ def _band_rows(nyl: int, f: int):
     return bands
 
 
-def _build_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None):
-    """Build (once) the jitted sharded program + its shard constants.
-
-    With ``chain_axis`` set (run_chains_kernel_sharded), the mesh is 2-D
-    and every per-chain array carries a leading chain axis sharded over it.
-    """
-    cfg = p.config
-    ndev = mesh.shape[axis_name]
+def _band_plan(p, ndev):
+    """(band_geo, Wpa_g): per-band tile plans + the widest window width."""
     f, ny, nx, L = p.f, p.ny, p.nx, p.L
     nyl = ny // ndev
-    Lp = _pad_lanes(L)
     lw = int(p.lsf.shape[1])
-    BYl = nyl * f
-    Hpl = BYl + f - 1
-    halo = f - 1
-    n_colors = f * f
-    target = float(cfg.target_acceptance)
-    dtype = cfg.dtype
     S = int(p.fsf_spec.shape[0])
-
     bands = _band_rows(nyl, f)
     # per-band tile plans; the shared window buffer must cover the widest
     band_geo = []
@@ -125,6 +144,22 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None):
             raise ValueError("no per-band tiling fits the VMEM budget")
         band_geo.append((name, rows0, nyb, y_base, tile_b))
         Wpa_g = max(Wpa_g, pt.global_window_width(f, nx, tile_b[1]))
+    return band_geo, Wpa_g
+
+
+def _build_consts(p, ndev, interior):
+    """(band_geo, Wpa_g, consts): the GB-scale shard constants.
+
+    Independent of segment length and chain axis — one copy per
+    (problem, shard count, interior) serves every compiled program
+    variant (see _CONSTS_CACHE).
+    """
+    cfg = p.config
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    Lp = _pad_lanes(L)
+    BYl = (ny // ndev) * f
+    dtype = cfg.dtype
+    band_geo, Wpa_g = _band_plan(p, ndev)
 
     # ---- shard-constant host-side precomputation ----
     # Serialized on huge problems: the lazy dispatch backend otherwise
@@ -197,6 +232,30 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None):
     del quad_g, qvox_g
 
     validf = p.valid.astype(dtype)                      # [Yc, Xc]
+    consts = (w_w0, quad_w0, tuple(qt_stacks), tuple(qv_stacks), validf)
+    return band_geo, Wpa_g, consts
+
+
+def _build_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None,
+                   band_plan=None):
+    """Build the jitted sharded program (constants live in _CONSTS_CACHE).
+
+    With ``chain_axis`` set (run_chains_kernel_sharded), the mesh is 2-D
+    and every per-chain array carries a leading chain axis sharded over it.
+    """
+    cfg = p.config
+    ndev = mesh.shape[axis_name]
+    f, ny, nx, L = p.f, p.ny, p.nx, p.L
+    nyl = ny // ndev
+    Lp = _pad_lanes(L)
+    BYl = nyl * f
+    Hpl = BYl + f - 1
+    halo = f - 1
+    n_colors = f * f
+    target = float(cfg.target_acceptance)
+    dtype = cfg.dtype
+    band_geo, Wpa_g = band_plan if band_plan else _band_plan(p, ndev)
+
     fsf_lanes = jnp.pad(
         jnp.moveaxis(p.fsf.astype(jnp.float32), 0, -1),
         ((0, 0), (0, 0), (0, Lp - L)),
@@ -601,8 +660,7 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None):
         ),
     )(body))
 
-    consts = (w_w0, quad_w0, tuple(qt_stacks), tuple(qv_stacks), validf)
-    return sharded, consts, Wpa_g
+    return sharded
 
 
 def _check_kernel_shardable(p, mesh, axis_name, interior):
@@ -692,17 +750,9 @@ def _run_sweeps_kernel_inner(
     Lp = _pad_lanes(L)
     dtype = cfg.dtype
 
-    # id() alone is unsafe as a key: a freed problem's id can be recycled
-    # by a later problem of identical geometry (jit static metadata keeps
-    # configs alive, so finalizers are unreliable) — the weakref makes the
-    # entry self-validating.
-    ckey = (id(p), mesh, axis_name, int(n_sweeps), interior)
-    entry = _PROGRAM_CACHE.get(ckey)
-    if entry is None or entry[0]() is not p:
-        _PROGRAM_CACHE[ckey] = (weakref.ref(p), _build_program(
-            p, mesh, axis_name, int(n_sweeps), interior
-        ))
-    sharded, consts, Wpa_g = _PROGRAM_CACHE[ckey][1]
+    sharded, consts, Wpa_g = _cached_program(
+        p, mesh, axis_name, n_sweeps, interior
+    )
     (w_w0, quad_w0, qt_stacks, qv_stacks, validf) = consts
 
     resid_ov = overlap_shard(state.resid.astype(jnp.float32), f, ndev)
@@ -830,14 +880,9 @@ def _run_chains_kernel_inner(
     if states is None:
         states = ch.init_chain_states(problem, n_chains)
 
-    ckey = (id(p), mesh, axis_name, int(n_sweeps), interior, chain_axis)
-    entry = _PROGRAM_CACHE.get(ckey)
-    if entry is None or entry[0]() is not p:
-        _PROGRAM_CACHE[ckey] = (weakref.ref(p), _build_program(
-            p, mesh, axis_name, int(n_sweeps), interior,
-            chain_axis=chain_axis,
-        ))
-    sharded, consts, Wpa_g = _PROGRAM_CACHE[ckey][1]
+    sharded, consts, Wpa_g = _cached_program(
+        p, mesh, axis_name, n_sweeps, interior, chain_axis=chain_axis
+    )
     (w_w0, quad_w0, qt_stacks, qv_stacks, validf) = consts
 
     resid_w0 = jax.vmap(

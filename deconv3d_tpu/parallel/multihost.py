@@ -70,10 +70,21 @@ def initialize(
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
-        # ValueError: already initialized by the launcher.  RuntimeError:
-        # the XLA backend is already up (initialize must precede any JAX
-        # call) — single-host execution proceeds; a REAL multi-host run
-        # must call this before first device use, like every JAX program.
+        # A REAL multi-host launch (num_processes > 1 requested) must not
+        # silently degrade to independent single-host runs — each process
+        # would sample the whole problem and quietly produce duplicated
+        # results.  Typical cause: the XLA backend was already touched
+        # (initialize must precede any device use, like every JAX program).
+        if num_processes is not None and num_processes > 1:
+            raise RuntimeError(
+                f"jax.distributed.initialize failed for a "
+                f"{num_processes}-process launch: {e}. Call "
+                "multihost.initialize() before ANY other JAX use "
+                "(jax.devices(), device_put, jit, ...)."
+            ) from e
+        # Single-host/auto paths: ValueError means a launcher already
+        # initialized it; RuntimeError means the backend is up — both are
+        # benign for one process.
         import logging
 
         logging.getLogger("deconv3d_tpu").info(

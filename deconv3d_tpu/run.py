@@ -142,7 +142,8 @@ class Run:
                         "spatial_mesh with sampler=%r runs the jnp color "
                         "step inside shard_map; engine=%r is ignored "
                         "(kernel-rate sharded sweeps exist for "
-                        "sampler='mh' only)", sampler, engine,
+                        "sampler='mh'/'gibbs' without positivity only)",
+                        sampler, engine,
                     )
                 engine = "jnp"
         self.min_acceptance_rate = min_acceptance_rate

@@ -96,53 +96,6 @@ def test_sample_conditional_moments(rng):
     np.testing.assert_allclose(cov_emp, cov_true, atol=6 * np.abs(cov_true).max() / np.sqrt(n))
 
 
-class TestBinnedSolvers:
-    """Per-bin factor tables (radially-binned direct preconditioner)."""
-
-    def _setup(self, rng, B=5, K=37, L=12, lw=5):
-        q = jnp.asarray(rng.uniform(0.5, 2.0, (B, L)))
-        lsf = jnp.asarray(np.exp(-0.5 * ((np.arange(lw) - lw // 2) / 1.2) ** 2))
-        lsf = jnp.tile((lsf / lsf.sum())[None], (L, 1))
-        bands = banded.precision_bands(lsf, q)
-        R_bin = banded.cholesky_banded(bands)
-        bin_idx = jnp.asarray(rng.integers(0, B, K), jnp.int32)
-        b = jnp.asarray(rng.standard_normal((K, L)))
-        return R_bin, bin_idx, b
-
-    def test_binned_equals_gathered_dense(self, rng):
-        R_bin, bin_idx, b = self._setup(rng)
-        R_full = R_bin[bin_idx]                       # [K, L, lw]
-        np.testing.assert_allclose(
-            np.asarray(banded.solve_transposed_banded_binned(
-                R_bin, bin_idx, b)),
-            np.asarray(banded.solve_transposed_banded(R_full, b)),
-            rtol=1e-10,
-        )
-        np.testing.assert_allclose(
-            np.asarray(banded.solve_banded_binned(R_bin, bin_idx, b)),
-            np.asarray(banded.solve_banded(R_full, b)),
-            rtol=1e-10,
-        )
-
-    def test_binned_solves_invert_A(self, rng):
-        """Rᵀ(R x) round-trip reproduces A x for every row's own bin."""
-        R_bin, bin_idx, b = self._setup(rng)
-        z = banded.solve_transposed_banded_binned(R_bin, bin_idx, b)
-        x = banded.solve_banded_binned(R_bin, bin_idx, z)
-        # apply A = RᵀR row-wise via the dense gathered factors
-        R_full = np.asarray(R_bin)[np.asarray(bin_idx)]
-        K, L, lw = R_full.shape
-        for k in range(0, K, 9):
-            Rd = np.zeros((L, L))
-            for l in range(L):
-                for m in range(lw):
-                    if l + m < L:
-                        Rd[l, l + m] = R_full[k, l, m]
-            np.testing.assert_allclose(
-                Rd.T @ Rd @ np.asarray(x[k]), np.asarray(b[k]), atol=1e-8
-            )
-
-
 def test_precision_diag_matches_bands(rng):
     L, lw = 17, 5
     lsf = jnp.asarray(rng.random((L, lw)))

@@ -335,3 +335,38 @@ def test_rejects_wrong_configs(rng, monkeypatch):
     )
     with pytest.raises(ValueError, match="mh"):
         run_sweeps_kernel_sharded(pg, state0, 2, _mesh(2), interior="jnp")
+
+
+def test_program_cache_shares_consts_across_segment_lengths(
+    rng, monkeypatch
+):
+    """GB-scale shard constants must be built ONCE per (problem, ndev,
+    interior): segment-length variants (coarse interleaving's
+    leading/steady/trailing splits) and the chains×sp composition reuse
+    the same device arrays, and entries for dead problems are evicted."""
+    from deconv3d_tpu.parallel import kernel_sharded as ks
+
+    ks._CONSTS_CACHE.clear()
+    ks._PROGRAM_CACHE.clear()
+    p = _problem(rng, monkeypatch=monkeypatch)
+    state0 = sm.init_state(p)
+    mesh = _mesh(2)
+    r = run_sweeps_kernel_sharded(p, state0, 3, mesh, interior="jnp")
+    consts_first = next(iter(ks._CONSTS_CACHE.values()))[1][2]
+    run_sweeps_kernel_sharded(p, r.state, 5, mesh, interior="jnp")
+    assert len(ks._CONSTS_CACHE) == 1          # one consts entry ...
+    assert len(ks._PROGRAM_CACHE) == 2         # ... two program variants
+    consts_now = next(iter(ks._CONSTS_CACHE.values()))[1][2]
+    assert consts_now[0] is consts_first[0]    # same device arrays reused
+
+    # a dead problem's entries are evicted on the next build
+    import gc
+
+    del p, r, state0
+    gc.collect()
+    p2 = _problem(rng, monkeypatch=monkeypatch)
+    run_sweeps_kernel_sharded(
+        p2, sm.init_state(p2), 3, mesh, interior="jnp"
+    )
+    for cache in (ks._CONSTS_CACHE, ks._PROGRAM_CACHE):
+        assert all(v[0]() is not None for v in cache.values())

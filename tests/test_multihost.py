@@ -41,3 +41,37 @@ def test_initialize_is_idempotent():
                   coordinator_address="localhost:12357")
     mh.initialize()
     assert jax.process_count() >= 1
+
+
+def test_initialize_raises_for_failed_multiprocess_launch():
+    """An explicit num_processes>1 launch must FAIL loudly when
+    jax.distributed cannot come up (e.g. the backend was already touched)
+    — silently degrading would run every process as an independent
+    single-host job (code-review r3)."""
+    import os
+    import subprocess
+    import sys
+
+    worker = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.devices()  # backend now up: distributed init must fail\n"
+        "from deconv3d_tpu.parallel import multihost as mh\n"
+        "try:\n"
+        "    mh.initialize(coordinator_address='localhost:12399',\n"
+        "                  num_processes=2, process_id=0)\n"
+        "except RuntimeError as e:\n"
+        "    print('RAISED-AS-EXPECTED:', str(e)[:60])\n"
+        "else:\n"
+        "    print('DID-NOT-RAISE')\n"
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # keep the child off the TPU plugin
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", worker], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert "RAISED-AS-EXPECTED" in out.stdout, (out.stdout, out.stderr)
