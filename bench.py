@@ -12,16 +12,53 @@ outright.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
+#: The axon tunnel can wedge so that backend init (make_c_api_client) hangs
+#: forever (observed 2026-08-17/18, lasting hours) — without a watchdog the
+#: driver's round-end bench run would record NOTHING.  The watchdog prints an
+#: error JSON line and hard-exits: 15 min covers normal backend bring-up with
+#: huge margin (normally seconds), 75 min covers a fully cold remote-compile
+#: run of every kernel shape this script times.
+_BACKEND_S = float(os.environ.get("BENCH_BACKEND_WATCHDOG_S", "900"))
+_TOTAL_S = float(os.environ.get("BENCH_WATCHDOG_S", "4500"))
+_backend_up = threading.Event()
+_done = threading.Event()
+
+
+def _watchdog() -> None:
+    if not _backend_up.wait(_BACKEND_S):
+        print(json.dumps({
+            "metric": "gibbs_sweeps_per_sec_muse_30x30x600", "value": 0,
+            "unit": "sweeps/s", "vs_baseline": 0,
+            "error": f"backend init did not complete in {_BACKEND_S:.0f}s "
+                     "(axon tunnel wedge) — no measurement possible",
+        }), flush=True)
+        os._exit(2)
+    remaining = _TOTAL_S - _BACKEND_S
+    if not _done.wait(remaining):
+        print(json.dumps({
+            "metric": "gibbs_sweeps_per_sec_muse_30x30x600", "value": 0,
+            "unit": "sweeps/s", "vs_baseline": 0,
+            "error": f"benchmark did not finish in {_TOTAL_S:.0f}s "
+                     "(device stall) — partial results discarded",
+        }), flush=True)
+        os._exit(2)
+
 
 def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
     from deconv3d_tpu import Cube, instruments as ins, sampler as sm
+
+    jax.devices()  # force backend init under the short watchdog window
+    _backend_up.set()
 
     L, Y, X = 600, 30, 30
     rng = np.random.default_rng(0)
@@ -177,6 +214,7 @@ def main() -> None:
         ),
         "gibbs_block_sweeps_per_sec": round(n_blk / dt_b, 2),
     }
+    _done.set()
     print(json.dumps(result))
 
 
