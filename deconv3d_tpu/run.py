@@ -124,7 +124,11 @@ class Run:
             self._spatial_chains = True
         self._spatial_kernel = False
         if spatial_mesh is not None and engine != "jnp":
-            if sampler in ("mh", "gibbs") and not positivity:
+            if sampler == "direct":
+                # GSPMD-sharded draws (parallel/direct_sharded.py); engine
+                # is irrelevant to the PCG path, leave it alone.
+                pass
+            elif sampler in ("mh", "gibbs") and not positivity:
                 # kernel-rate sharded sampling (parallel/kernel_sharded.py):
                 # the fused tiled kernel runs per shard, only the
                 # shard-boundary rows take the jnp edge pass.  Requires a
@@ -207,7 +211,14 @@ class Run:
                     axis_name=names[1],
                 )
             elif self.spatial_mesh is not None:
-                if self._spatial_kernel and self.problem.fsf_spec is not None:
+                if self.config.sampler == "direct":
+                    from .parallel.direct_sharded import (
+                        run_direct_sweeps_sharded as _sharded_sweeps,
+                    )
+                elif (
+                    self._spatial_kernel
+                    and self.problem.fsf_spec is not None
+                ):
                     from .parallel.kernel_sharded import (
                         run_sweeps_kernel_sharded as _sharded_sweeps,
                     )

@@ -1,0 +1,196 @@
+"""GSPMD-sharded direct sampler (parallel/direct_sharded.py).
+
+Runs on the 8-device virtual CPU mesh.  Two CPU-backend quirks shape the
+setup: sharded FFT operands trip the CPU fft_thunk layout RET_CHECK (the
+same XLA bug noted in test_kernel_sharded.py), so the spatial convs are
+forced onto the TPU depthwise path (backend monkeypatch) and the
+preconditioner under shard-testing is 'jacobi' (FFT-free); and CG solutions
+are only defined to ``direct_tol``, so end-to-end equality is asserted at
+solver tolerance on a WELL-conditioned problem while the operator
+applications themselves (where sharding bugs would live: halo exchanges,
+psums) are asserted at f64 tightness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from deconv3d_tpu import Cube
+from deconv3d_tpu import convolve as cv
+from deconv3d_tpu import instruments as ins
+from deconv3d_tpu import sampler as sm
+from deconv3d_tpu.ops import direct as dr
+from deconv3d_tpu.parallel.direct_sharded import (
+    _PROBLEM_AXIS,
+    _placed,
+    run_direct_sweeps_sharded,
+)
+
+
+def _mesh(n=8, axis="sp"):
+    return Mesh(np.asarray(jax.devices()[:n]), (axis,))
+
+
+def _problem(rng, f=9, L=16, Y=72, X=18, fwhm=0.25, noise=0.2, **cfg_kw):
+    """f=9 on an 8-way mesh: ndev | Yc AND ndev | f−1, so both the clean
+    (Yc) and padded (Hp = Yc + f − 1) layouts shard; fwhm≈0.25 px keeps A
+    well-conditioned so CG converges and draws are solver-tight."""
+    truth = np.zeros((L, Y, X))
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    truth[L // 3, 10, 4] = 3.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=fwhm), lsf=ins.GaussianLSF(fwhm=1.5),
+        pixel_scale=0.2,
+    )
+    cube0 = Cube.from_data(truth, crval=4750.0, cdelt=1.25, dtype=np.float64)
+    fsf = inst.fsf.bank(cube0.wavelengths(), size=f, pixel_scale=0.2)
+    lsf = inst.lsf.bank(cube0.wavelengths(), cdelt=1.25, width=5)
+    conv = np.asarray(cv.convolve_cube(
+        jnp.asarray(truth), jnp.asarray(fsf), jnp.asarray(lsf)))
+    data = conv + noise * rng.standard_normal(conv.shape)
+    cube = Cube.from_data(data, variance=np.full_like(data, noise**2),
+                          crval=4750.0, cdelt=1.25, dtype=np.float64)
+    cfg = sm.RunConfig(
+        max_iterations=30, burn_in=0, seed=4, fsf_size=f, lsf_width=5,
+        sampler="direct", dtype=np.float64, direct_precond="jacobi",
+        direct_tol=1e-9, direct_maxiter=400, **cfg_kw,
+    )
+    return sm.make_problem(cube, inst, cfg)
+
+
+@pytest.fixture()
+def tpu_conv_path(monkeypatch):
+    """Force the depthwise (non-FFT) spatial conv for sharded CPU runs."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+def _host(x):
+    return jnp.asarray(np.asarray(x))
+
+
+def test_operator_and_preconditioner_shard_exactly(rng, tpu_conv_path):
+    """A(c) and M⁻¹(r) — where the collectives live — must match the
+    single-device applications at f64 tightness under Y-sharding."""
+    p = _problem(rng)
+    mesh = _mesh(8)
+    c = jnp.asarray(rng.standard_normal((p.L, p.Y, p.X)))
+
+    ref_A = jax.jit(lambda pp, x: dr.make_normal_operator(pp)(x))(p, c)
+    ref_M = jax.jit(lambda pp, x: dr.make_preconditioner(pp)(x))(p, c)
+
+    p_sh = _placed(p, _PROBLEM_AXIS, mesh, "sp")
+    c_sh = jax.device_put(
+        c, jax.sharding.NamedSharding(mesh, P(None, "sp"))
+    )
+    got_A = jax.jit(lambda pp, x: dr.make_normal_operator(pp)(x))(p_sh, c_sh)
+    got_M = jax.jit(lambda pp, x: dr.make_preconditioner(pp)(x))(p_sh, c_sh)
+
+    np.testing.assert_allclose(
+        np.asarray(got_A), np.asarray(ref_A), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_M), np.asarray(ref_M), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_draws_match_single_device_at_solver_tolerance(rng, tpu_conv_path):
+    p = _problem(rng)
+    st = sm.init_state(p)
+    ref = dr.direct_run_sweeps(p, st, 3)
+    mesh = _mesh(8)
+    got = run_direct_sweeps_sharded(p, sm.init_state(p), 3, mesh)
+
+    # every draw converged on both paths (the comparison is meaningless
+    # otherwise — unconverged iterates amplify reduction-order noise)
+    assert np.all(np.asarray(ref.accept_trace) == 1.0)
+    assert np.all(np.asarray(got.accept_trace) == 1.0)
+
+    # the big layouts actually sharded (not silently replicated)
+    assert got.state.clean.sharding.spec == P(None, "sp")
+    assert got.state.resid.sharding.spec == P(None, "sp")
+
+    scale = float(jnp.abs(_host(ref.state.clean)).max())
+    err = float(jnp.abs(
+        _host(got.state.clean) - _host(ref.state.clean)
+    ).max())
+    # both iterates sit within direct_tol of the same solution; 1e-9
+    # relative residual on a well-conditioned A leaves ~1e-6·scale slack
+    assert err < 1e-5 * scale, (err, scale)
+    assert (
+        abs(float(got.state.chi2) - float(ref.state.chi2))
+        <= 1e-5 * float(ref.state.chi2)
+    )
+
+
+def test_segmentation_matches_one_shot(rng, tpu_conv_path):
+    """2+1 sharded draws == 3 sharded draws (key threading through the
+    ChainResult state survives resharding round-trips)."""
+    p = _problem(rng)
+    mesh = _mesh(8)
+    a = run_direct_sweeps_sharded(p, sm.init_state(p), 2, mesh)
+    a = run_direct_sweeps_sharded(p, a.state, 1, mesh)
+    b = run_direct_sweeps_sharded(p, sm.init_state(p), 3, mesh)
+    np.testing.assert_allclose(
+        np.asarray(a.state.clean), np.asarray(b.state.clean),
+        rtol=1e-12, atol=1e-12,
+    )
+    assert float(a.state.sweep) == float(b.state.sweep)
+
+
+def test_indivisible_geometry_falls_back_to_replication(rng, tpu_conv_path):
+    """Yc=63/Hp=71 divide nothing: every leaf must fall back to
+    replication (not crash) and the chain still matches single-device."""
+    p = _problem(rng, f=9, Y=63, X=18)
+    mesh = _mesh(8)
+    st = sm.init_state(p)
+    ref = dr.direct_run_sweeps(p, st, 2)
+    got = run_direct_sweeps_sharded(p, sm.init_state(p), 2, mesh)
+    assert np.all(np.asarray(got.accept_trace) == 1.0)
+    scale = float(jnp.abs(_host(ref.state.clean)).max())
+    err = float(jnp.abs(
+        _host(got.state.clean) - _host(ref.state.clean)
+    ).max())
+    assert err < 1e-5 * scale, (err, scale)
+
+
+def test_rejects_non_direct_sampler(rng, tpu_conv_path):
+    p = _problem(rng)
+    import dataclasses
+
+    p2 = dataclasses.replace(
+        p, config=dataclasses.replace(p.config, sampler="mh")
+    )
+    with pytest.raises(ValueError, match="direct"):
+        run_direct_sweeps_sharded(p2, sm.init_state(p), 1, _mesh(2))
+
+
+def test_run_facade_routes_spatial_direct(rng, tpu_conv_path):
+    """Run(sampler='direct', spatial_mesh=…) must route to the GSPMD path
+    and produce converged draws."""
+    from deconv3d_tpu.run import Run
+
+    L, Y, X = 16, 72, 18
+    truth = np.zeros((L, Y, X))
+    truth[8, 36, 9] = 5.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.25), lsf=ins.GaussianLSF(fwhm=1.5),
+        pixel_scale=0.2,
+    )
+    cube0 = Cube.from_data(truth, crval=4750.0, cdelt=1.25, dtype=np.float64)
+    fsf = inst.fsf.bank(cube0.wavelengths(), size=9, pixel_scale=0.2)
+    lsf = inst.lsf.bank(cube0.wavelengths(), cdelt=1.25, width=5)
+    conv = np.asarray(cv.convolve_cube(
+        jnp.asarray(truth), jnp.asarray(fsf), jnp.asarray(lsf)))
+    data = conv + 0.2 * np.asarray(rng.standard_normal(conv.shape))
+    cube = Cube.from_data(data, variance=np.full_like(data, 0.04),
+                          crval=4750.0, cdelt=1.25, dtype=np.float64)
+    r = Run(
+        cube, inst, max_iterations=2, sampler="direct", fsf_size=9,
+        lsf_width=5, dtype=np.float64, direct_precond="jacobi",
+        direct_tol=1e-8, direct_maxiter=400, spatial_mesh=_mesh(8),
+    )
+    r.run()
+    acc = np.concatenate([np.asarray(a).ravel() for a in r._traces["accept"]])
+    assert np.all(acc == 1.0), acc
