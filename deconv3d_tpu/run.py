@@ -91,8 +91,12 @@ class Run:
         self.n_chains = int(n_chains)
         self.mesh = mesh
         # spatial_mesh: a jax.sharding.Mesh (or device count) to run ONE
-        # chain's sweep sharded over devices (very large fields; see
-        # parallel/sweep_sharded.py).  Mutually exclusive with n_chains>1.
+        # chain's sweep sharded over devices (very large fields).  Routes
+        # by sampler: mh/gibbs → kernel-rate bands (parallel/
+        # kernel_sharded.py), direct → GSPMD global-view (parallel/
+        # direct_sharded.py), others → jnp shard_map (parallel/
+        # sweep_sharded.py).  With n_chains>1 it must be a 2-D
+        # (chains, sp) mesh (chains × spatial composition).
         if isinstance(spatial_mesh, int):
             from jax.sharding import Mesh as _Mesh
 

@@ -10,6 +10,7 @@ latency — not capacity.
     1. chain parallelism            run_chains(mesh=1-D mesh)
     2. spatial (one chain, Y-shard) Run(spatial_mesh=...)
     3. chains × spatial 2-D mesh    Run(n_chains=2, spatial_mesh=mesh2d)
+    4. exact draws, GSPMD-sharded   Run(sampler='direct', spatial_mesh=...)
 
     python examples/sharded_fullfield.py
 """
@@ -66,3 +67,16 @@ if n_dev >= 4:
     print("chains×spatial: chi2/dof "
           f"{run_2d.chi2 / truth.size:.3f}  "
           f"chains {np.asarray(run_2d.states.clean).shape[0]}")
+
+# --- 4. exact (iid) posterior draws over the mesh -------------------------
+# The direct sampler has no sweep structure to decompose — it jits
+# global-view over a Y-sharded mesh and XLA inserts the collectives
+# (docs/design.md §8h).  TPU-gated here only because the CPU backend
+# cannot run FFTs on sharded operands (an XLA fft_thunk limitation);
+# on any TPU slice this block runs as-is.
+if n_dev >= 2 and jax.default_backend() == "tpu":
+    run_d = d3d.Run(cube, inst, sampler="direct", spatial_mesh=2,
+                    max_iterations=8, fsf_size=f, lsf_width=5)
+    run_d.run()
+    print("sharded direct: chi2/dof "
+          f"{run_d.chi2 / truth.size:.3f}")
