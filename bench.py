@@ -27,6 +27,7 @@ import numpy as np
 #: run of every kernel shape this script times.
 _BACKEND_S = float(os.environ.get("BENCH_BACKEND_WATCHDOG_S", "900"))
 _TOTAL_S = float(os.environ.get("BENCH_WATCHDOG_S", "4500"))
+_T0 = time.monotonic()
 _backend_up = threading.Event()
 _done = threading.Event()
 
@@ -40,13 +41,18 @@ def _watchdog() -> None:
                      "(axon tunnel wedge) — no measurement possible",
         }), flush=True)
         os._exit(2)
-    remaining = _TOTAL_S - _BACKEND_S
+    # total budget is anchored at PROCESS start, not backend-up — a fast
+    # backend bring-up must not shrink the measurement window below
+    # _TOTAL_S, and a slow one must not push the deadline past it
+    remaining = max(0.0, _TOTAL_S - (time.monotonic() - _T0))
     if not _done.wait(remaining):
+        elapsed = time.monotonic() - _T0
         print(json.dumps({
             "metric": "gibbs_sweeps_per_sec_muse_30x30x600", "value": 0,
             "unit": "sweeps/s", "vs_baseline": 0,
-            "error": f"benchmark did not finish in {_TOTAL_S:.0f}s "
-                     "(device stall) — partial results discarded",
+            "error": f"benchmark did not finish in {elapsed:.0f}s "
+                     f"(budget {_TOTAL_S:.0f}s; device stall) — partial "
+                     "results discarded",
         }), flush=True)
         os._exit(2)
 

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import sampler as sm
 from ..ops.direct import direct_run_sweeps
+from .cache import evict_dead
 
 #: pytree leaf name -> index of its Y-like axis (sharded over the mesh);
 #: leaves not listed (kernels, scalars, keys, indices) are replicated.
@@ -122,8 +123,7 @@ def run_direct_sweeps_sharded(
             )
         axis_name = mesh.axis_names[0]
 
-    for k in [k for k, v in _PROGRAM_CACHE.items() if v[0]() is None]:
-        del _PROGRAM_CACHE[k]
+    evict_dead(_PROGRAM_CACHE)
     ckey = (id(p), mesh, axis_name, int(n_sweeps))
     ent = _PROGRAM_CACHE.get(ckey)
     if ent is None or ent[0]() is not p:

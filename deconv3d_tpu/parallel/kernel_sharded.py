@@ -65,6 +65,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import sampler as sm
 from ..ops import pallas_tiled as pt
 from ..ops.pallas_sweep import _from_color_layout, _pad_lanes
+from .cache import evict_dead
 from .sweep_sharded import overlap_shard, overlap_unshard
 
 
@@ -82,15 +83,9 @@ _CONSTS_CACHE: dict = {}    # (id(p), ndev, interior) -> (band_geo, Wpa_g, const
 _PROGRAM_CACHE: dict = {}   # (id(p), mesh, axis, n_sweeps, interior, chain_axis)
 
 
-def _evict_dead():
-    for cache in (_CONSTS_CACHE, _PROGRAM_CACHE):
-        for k in [k for k, v in cache.items() if v[0]() is None]:
-            del cache[k]
-
-
 def _cached_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None):
     """(sharded, consts, Wpa_g) through the two-level cache."""
-    _evict_dead()
+    evict_dead(_CONSTS_CACHE, _PROGRAM_CACHE)
     ndev = mesh.shape[axis_name]
     skey = (id(p), ndev, interior)
     ent = _CONSTS_CACHE.get(skey)

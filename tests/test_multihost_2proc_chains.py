@@ -10,7 +10,6 @@ global mesh) are unperturbed by the distributed mesh construction.
 """
 
 import os
-import socket
 import subprocess
 import sys
 
