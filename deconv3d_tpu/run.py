@@ -333,6 +333,39 @@ class Run:
         nprop = np.asarray(self.states.n_propose).sum()
         return float(acc / max(nprop, 1.0))
 
+    def map_estimate(self, tol: Optional[float] = None,
+                     maxiter: Optional[int] = None) -> Cube:
+        """MAP (= posterior mean of the linear-Gaussian model) by PCG.
+
+        Deterministic and sampler-independent: solves  A c = Kᵀ W d  with
+        the same preconditioned CG the direct sampler uses
+        (ops/direct.posterior_mean) — no chains, no burn-in.  Available on
+        any Run regardless of ``sampler=``; ``tol``/``maxiter`` default to
+        the ``direct_tol``/``direct_maxiter`` knobs.  Complements
+        ``deconvolved_cube()`` (the MCMC posterior mean with per-voxel
+        uncertainty); use this for a fast point estimate or as a
+        cross-check that the chains converged where they should.
+
+        Rebuild-only capability — the reference exposes no MAP solver.
+        """
+        from .ops.direct import posterior_mean
+
+        res = posterior_mean(self.problem, tol=tol, maxiter=maxiter)
+        if float(res.rel_residual) > (
+            tol if tol is not None else self.config.direct_tol
+        ):
+            logger.warning(
+                "map_estimate did not converge: rel_residual %.2e after "
+                "%d iterations — raise maxiter or loosen tol",
+                float(res.rel_residual), int(res.iterations),
+            )
+        return Cube.from_data(
+            np.asarray(res.x),  # posterior_mean solves on the [L, Y, X] grid
+            crval=self.cube.crval,
+            cdelt=self.cube.cdelt, crpix=self.cube.crpix,
+            dtype=self.config.dtype,
+        )
+
     def deconvolved_cube(self) -> Cube:
         """Posterior-mean clean cube (pooled over chains)."""
         p = self.problem

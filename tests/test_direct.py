@@ -257,3 +257,35 @@ def test_direct_drops_quad_keeps_mean(rng):
     p, *_ = _problem(rng)
     assert p.quad is None and p.quad_mean is not None
     sm.init_state(p)  # must not touch p.quad
+
+
+def test_run_map_estimate(rng):
+    """Run.map_estimate(): sampler-independent MAP via PCG — must equal
+    the MCMC-free posterior_mean solve and recover a well-conditioned
+    point source, even on a Run configured for MH sampling."""
+    L, Y, X = 8, 6, 6
+    truth = np.zeros((L, Y, X))
+    truth[4, 3, 3] = 4.0
+    from deconv3d_tpu import Run, convolve as cv
+    from deconv3d_tpu.ops.direct import posterior_mean
+
+    lam = 4750.0 + 1.25 * np.arange(L)
+    fsf = ins.GaussianFSF(fwhm=0.25).bank(lam, size=3, pixel_scale=0.2)
+    lsf = ins.GaussianLSF(fwhm=1.0).bank(lam, cdelt=1.25, width=3)
+    conv = np.asarray(cv.convolve_cube(
+        jnp.asarray(truth), jnp.asarray(fsf), jnp.asarray(lsf)))
+    data = conv + 0.2 * rng.standard_normal(conv.shape)
+    cube = Cube.from_data(data, variance=np.full_like(data, 0.04),
+                          crval=4750.0, cdelt=1.25, dtype=np.float64)
+    inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.25),
+                          lsf=ins.GaussianLSF(fwhm=1.0), pixel_scale=0.2)
+    run = Run(cube, inst, max_iterations=10, sampler="mh",
+              fsf_size=3, lsf_width=3, dtype=np.float64, direct_tol=1e-10)
+    m = run.map_estimate()                        # no .run() needed
+    assert isinstance(m, Cube)
+    ref = posterior_mean(run.problem, tol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(m.data), np.asarray(ref.x), rtol=0, atol=1e-12
+    )
+    assert abs(float(m.data[4, 3, 3]) - truth[4, 3, 3]) < 1.0
+    assert np.asarray(m.wavelengths() == cube.wavelengths()).all()
