@@ -3,6 +3,7 @@ the optional convenience wrapper for the benchmark configs):
 
     python -m deconv3d_tpu run --cube data.fits --out my_deconv \
         --iterations 10000 --chains 8 --sampler gibbs
+    python -m deconv3d_tpu map --cube data.fits --out my_map.fits
     python -m deconv3d_tpu info --cube data.fits
 """
 
@@ -89,6 +90,19 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_map(args) -> int:
+    """Deterministic MAP/posterior-mean solve (no MCMC) → one FITS cube."""
+    from .run import Run
+
+    run = Run(
+        args.cube, _build_instrument(args), max_iterations=1,
+        direct_tol=args.tol, direct_maxiter=args.maxiter,
+    )
+    run.map_estimate().to_fits(args.out)
+    print(json.dumps({"out": args.out, "tol": args.tol}))
+    return 0
+
+
 def cmd_info(args) -> int:
     from .cube import Cube
 
@@ -112,11 +126,29 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     runp = sub.add_parser("run", help="run a deconvolution")
     _add_run_args(runp)
+    mapp = sub.add_parser(
+        "map", help="deterministic MAP/posterior-mean solve (no MCMC)"
+    )
+    mapp.add_argument("--cube", required=True, help="FITS or NPZ cube path")
+    mapp.add_argument("--out", default="deconv3d_map.fits")
+    mapp.add_argument("--tol", type=float, default=1e-6)
+    mapp.add_argument("--maxiter", type=int, default=500)
+    for flag, kw in (
+        ("--fsf", dict(choices=["moffat", "gaussian"], default="moffat")),
+        ("--fsf-fwhm", dict(type=float, default=0.66)),
+        ("--fsf-beta", dict(type=float, default=2.6)),
+        ("--lsf", dict(choices=["muse", "gaussian"], default="muse")),
+        ("--lsf-fwhm", dict(type=float, default=2.5)),
+        ("--pixel-scale", dict(type=float, default=0.2)),
+    ):
+        mapp.add_argument(flag, **kw)
     infop = sub.add_parser("info", help="inspect a cube file")
     infop.add_argument("--cube", required=True)
     args = ap.parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args)
+    if args.cmd == "map":
+        return cmd_map(args)
     return cmd_info(args)
 
 

@@ -41,3 +41,18 @@ def test_cli_run(tmp_path, rng, capsys):
     assert stats["acceptance_rate"] == 1.0
     for suffix in ("_clean.fits", "_stats.json", "_traces.npz"):
         assert os.path.exists(out_prefix + suffix)
+
+
+def test_cli_map(tmp_path, rng, capsys):
+    path = _write_cube(tmp_path, rng)
+    out_fits = str(tmp_path / "map.fits")
+    rc = main([
+        "map", "--cube", path, "--out", out_fits,
+        "--fsf", "gaussian", "--fsf-fwhm", "0.3",
+        "--lsf", "gaussian", "--lsf-fwhm", "1.5", "--tol", "1e-7",
+    ])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["out"] == out_fits
+    m = Cube.from_fits(out_fits)
+    assert list(m.shape) == [16, 6, 6]
+    assert np.isfinite(np.asarray(m.data)).all()
