@@ -289,3 +289,53 @@ def test_run_map_estimate(rng):
     )
     assert abs(float(m.data[4, 3, 3]) - truth[4, 3, 3]) < 1.0
     assert np.asarray(m.wavelengths() == cube.wavelengths()).all()
+
+
+def test_masked_spaxels_frozen_and_ignored(rng):
+    """C8 × direct: masked spaxels must (a) stay exactly zero in every
+    draw and accumulator, and (b) contribute nothing — the chain is
+    bit-identical no matter what garbage the masked spaxel's data holds
+    (w=0 there and the free mask projects it out of the solve)."""
+    L, Y, X = 8, 6, 6
+    my, mx = 1, 4
+    mask = np.zeros((Y, X), bool)
+    mask[my, mx] = True
+
+    def run_with(masked_value):
+        truth = np.zeros((L, Y, X))
+        truth[L // 2, Y // 2, X // 2] = 4.0
+        lam = 4750.0 + 1.25 * np.arange(L)
+        fsf = ins.GaussianFSF(fwhm=0.25).bank(lam, size=3, pixel_scale=0.2)
+        lsf = ins.GaussianLSF(fwhm=1.0).bank(lam, cdelt=1.25, width=3)
+        from deconv3d_tpu import convolve as cv
+
+        conv = np.asarray(cv.convolve_cube(
+            jnp.asarray(truth), jnp.asarray(fsf), jnp.asarray(lsf)))
+        data = conv + 0.5 * np.random.default_rng(0).standard_normal(
+            conv.shape
+        )
+        data[:, my, mx] = masked_value
+        cube = Cube.from_data(
+            data, variance=np.full_like(data, 0.25), mask=mask,
+            crval=4750.0, cdelt=1.25, dtype=np.float64,
+        )
+        inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.25),
+                              lsf=ins.GaussianLSF(fwhm=1.0),
+                              pixel_scale=0.2)
+        cfg = sm.RunConfig(max_iterations=6, burn_in=0, seed=3,
+                           dtype=np.float64, fsf_size=3, lsf_width=3,
+                           sampler="direct", direct_tol=1e-8)
+        p = sm.make_problem(cube, inst, cfg)
+        return p, dr.direct_run_sweeps(p, sm.init_state(p), 4)
+
+    p1, r1 = run_with(0.0)
+    assert not bool(np.asarray(p1.valid)[my, mx])
+    assert np.all(np.asarray(r1.accept_trace) == 1.0)
+    assert np.all(np.asarray(r1.state.clean)[:, my, mx] == 0.0)
+    assert np.all(np.asarray(r1.state.sum_clean)[:, my, mx] == 0.0)
+
+    _, r2 = run_with(1e6)  # garbage behind the mask changes NOTHING
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.clean), np.asarray(r2.state.clean)
+    )
+    assert float(r1.state.chi2) == float(r2.state.chi2)
