@@ -260,3 +260,27 @@ def test_orbax_checkpoint_async(tmp_path, rng):
     assert meta == {"k": 2}
     np.testing.assert_array_equal(
         np.asarray(restored.clean), np.asarray(state.clean))
+
+
+def test_checkpoint_resume_bit_exact_spatial_mesh(tmp_path, rng):
+    """checkpoint/resume THROUGH the facade with a spatial_mesh: the
+    sharded sweep's absolute-sweep RNG keying must make a killed-and-
+    resumed sharded run land bit-exactly on the uninterrupted one."""
+    cube, inst, _ = _make_toy(rng)
+    kw = dict(max_iterations=24, burn_in=8, seed=9, fsf_size=5,
+              lsf_width=5, dtype=np.float64, spatial_mesh=2)
+    path = str(tmp_path / "ck.npz")
+
+    full = Run(cube, inst, **kw).run(24)
+
+    first = Run(cube, inst, checkpoint_path=path, **kw)
+    first.run(12)
+    second = Run(cube, inst, checkpoint_path=path, **kw).resume()
+    assert second.sweeps_done == 12
+    second.run(12)
+    np.testing.assert_array_equal(
+        np.asarray(full.states.clean), np.asarray(second.states.clean)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.states.resid), np.asarray(second.states.resid)
+    )
