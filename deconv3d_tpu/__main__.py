@@ -99,7 +99,14 @@ def cmd_map(args) -> int:
         direct_tol=args.tol, direct_maxiter=args.maxiter,
     )
     run.map_estimate().to_fits(args.out)
-    print(json.dumps({"out": args.out, "tol": args.tol}))
+    res = run.last_map_result
+    print(json.dumps({
+        "out": args.out, "tol": args.tol,
+        "iterations": int(res.iterations),
+        "rel_residual": float(res.rel_residual),
+        # machine-readable: the stderr warning is easily lost in pipelines
+        "converged": bool(float(res.rel_residual) <= args.tol),
+    }))
     return 0
 
 

@@ -33,6 +33,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import sampler as sm
+from ..ops import direct as _dr
 from ..ops.direct import direct_run_sweeps
 from .cache import evict_dead
 
@@ -137,3 +138,50 @@ def run_direct_sweeps_sharded(
     p_sh = _placed(p, _PROBLEM_AXIS, mesh, axis_name)
     st_sh = _placed(state, _STATE_AXIS, mesh, axis_name)
     return fn(p_sh, st_sh)
+
+
+def posterior_mean_sharded(
+    problem,
+    mesh: Mesh,
+    axis_name: str | None = None,
+    tol: float | None = None,
+    maxiter: int | None = None,
+):
+    """``ops.direct.posterior_mean`` over a device mesh (PCGResult).
+
+    Same global-view recipe as the draws: Y-shard the problem leaves, jit
+    the unchanged solve, let GSPMD insert the collectives — so the MAP of
+    a field beyond one chip's HBM runs without a sampler-specific config
+    (``Run.map_estimate`` routes here when ``spatial_mesh`` is set).
+    """
+    p = problem
+    if axis_name is None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"pass axis_name for multi-axis mesh {mesh.axis_names}"
+            )
+        axis_name = mesh.axis_names[0]
+
+    evict_dead(_PROGRAM_CACHE)
+    tol_v = p.config.direct_tol if tol is None else float(tol)
+    max_v = p.config.direct_maxiter if maxiter is None else int(maxiter)
+    ckey = ("pm", id(p), mesh, axis_name, tol_v, max_v)
+    ent = _PROGRAM_CACHE.get(ckey)
+    if ent is None or ent[0]() is not p:
+        x_sh = NamedSharding(
+            mesh, _spec(
+                {"x": 1}, "x",
+                jax.ShapeDtypeStruct((p.L, p.Y, p.X), p.config.dtype),
+                mesh, axis_name,
+            )
+        )
+        rep = NamedSharding(mesh, P())
+        fn = jax.jit(
+            lambda pp: _dr.posterior_mean(pp, tol=tol_v, maxiter=max_v),
+            out_shardings=_dr.PCGResult(
+                x=x_sh, iterations=rep, rel_residual=rep
+            ),
+        )
+        _PROGRAM_CACHE[ckey] = (weakref.ref(p), fn)
+    fn = _PROGRAM_CACHE[ckey][1]
+    return fn(_placed(p, _PROBLEM_AXIS, mesh, axis_name))

@@ -182,12 +182,28 @@ class Run:
             direct_precond=direct_precond,
         )
         self.problem = sm.make_problem(cube, self.instrument, self.config)
-        self.states = ch.init_chain_states(self.problem, self.n_chains)
+        self._states = None  # lazy — see the states property
         # host-side trace accumulators [n_chains, total_sweeps]
         self._traces = {"chi2": [], "accept": [], "flux": [], "monitor": []}
         self._last_result: Optional[ch.MultiChainResult] = None
 
     # -- execution -----------------------------------------------------------
+
+    @property
+    def states(self):
+        """Chain states, allocated on first use.
+
+        Lazy so that solve-only uses (``map_estimate``, the ``map`` CLI)
+        never build the MCMC accumulators — several cube-size arrays plus
+        an initial full-cube convolution, i.e. GB of HBM at full field.
+        """
+        if self._states is None:
+            self._states = ch.init_chain_states(self.problem, self.n_chains)
+        return self._states
+
+    @states.setter
+    def states(self, value):
+        self._states = value
 
     @property
     def sweeps_done(self) -> int:
@@ -346,11 +362,40 @@ class Run:
         uncertainty); use this for a fast point estimate or as a
         cross-check that the chains converged where they should.
 
+        With ``spatial_mesh`` set the solve runs GSPMD-sharded over the
+        mesh (parallel/direct_sharded.posterior_mean_sharded) — the MAP of
+        a field beyond one chip's HBM needs the sharded PCG vectors just
+        like the draws do.  Convergence stats of the last call are kept in
+        ``self.last_map_result`` (PCGResult: iterations, rel_residual).
+
         Rebuild-only capability — the reference exposes no MAP solver.
         """
-        from .ops.direct import posterior_mean
+        if self.config.positivity:
+            # the unconstrained Gaussian MAP is NOT the MAP of the
+            # truncated (positivity) model — returning it silently would
+            # hand users the wrong cross-check point.
+            raise ValueError(
+                "map_estimate() solves the unconstrained Gaussian model; "
+                "with positivity=True its optimum (negative voxels "
+                "included) is not the constrained model's MAP. Use the "
+                "MCMC posterior mean (deconvolved_cube) instead."
+            )
+        if self.spatial_mesh is not None:
+            from .parallel.direct_sharded import posterior_mean_sharded
 
-        res = posterior_mean(self.problem, tol=tol, maxiter=maxiter)
+            names = tuple(self.spatial_mesh.axis_names)
+            res = posterior_mean_sharded(
+                self.problem, self.spatial_mesh,
+                # on a 2-D (chains, sp) mesh the solve shards over the
+                # spatial axis only (it is one deterministic solve, not
+                # per-chain work)
+                axis_name=names[-1], tol=tol, maxiter=maxiter,
+            )
+        else:
+            from .ops.direct import posterior_mean
+
+            res = posterior_mean(self.problem, tol=tol, maxiter=maxiter)
+        self.last_map_result = res
         if float(res.rel_residual) > (
             tol if tol is not None else self.config.direct_tol
         ):

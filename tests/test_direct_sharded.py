@@ -228,3 +228,52 @@ def test_fft_preconditioners_shard_over_lambda(rng):
     np.testing.assert_allclose(
         np.asarray(got_A), np.asarray(ref_A), rtol=1e-11, atol=1e-11
     )
+
+
+def test_posterior_mean_sharded_matches(rng, tpu_conv_path):
+    from deconv3d_tpu.parallel.direct_sharded import posterior_mean_sharded
+
+    p = _problem(rng)
+    ref = dr.posterior_mean(p, tol=1e-10, maxiter=600)
+    got = posterior_mean_sharded(p, _mesh(8), tol=1e-10, maxiter=600)
+    assert float(ref.rel_residual) <= 1e-10
+    assert float(got.rel_residual) <= 1e-10
+    assert got.x.sharding.spec == P(None, "sp")
+    scale = float(jnp.abs(_host(ref.x)).max())
+    err = float(jnp.abs(_host(got.x) - _host(ref.x)).max())
+    assert err < 1e-6 * scale, (err, scale)
+
+
+def test_map_estimate_routes_spatial_and_guards_positivity(
+    rng, tpu_conv_path
+):
+    from deconv3d_tpu.run import Run
+
+    L, Y, X = 16, 72, 18
+    truth = np.zeros((L, Y, X))
+    truth[8, 36, 9] = 5.0
+    inst = ins.Instrument(
+        fsf=ins.GaussianFSF(fwhm=0.25), lsf=ins.GaussianLSF(fwhm=1.5),
+        pixel_scale=0.2,
+    )
+    cube0 = Cube.from_data(truth, crval=4750.0, cdelt=1.25, dtype=np.float64)
+    fsf = inst.fsf.bank(cube0.wavelengths(), size=9, pixel_scale=0.2)
+    lsf = inst.lsf.bank(cube0.wavelengths(), cdelt=1.25, width=5)
+    conv = np.asarray(cv.convolve_cube(
+        jnp.asarray(truth), jnp.asarray(fsf), jnp.asarray(lsf)))
+    data = conv + 0.2 * np.asarray(rng.standard_normal(conv.shape))
+    cube = Cube.from_data(data, variance=np.full_like(data, 0.04),
+                          crval=4750.0, cdelt=1.25, dtype=np.float64)
+    kw = dict(max_iterations=2, fsf_size=9, lsf_width=5, dtype=np.float64,
+              direct_precond="jacobi", direct_tol=1e-8, direct_maxiter=400)
+    r = Run(cube, inst, spatial_mesh=_mesh(8), **kw)
+    m = r.map_estimate()
+    assert float(r.last_map_result.rel_residual) <= 1e-8
+    ref = Run(cube, inst, **kw).map_estimate()
+    np.testing.assert_allclose(
+        np.asarray(m.data), np.asarray(ref.data), rtol=0, atol=1e-6
+    )
+
+    r_pos = Run(cube, inst, positivity=True, **kw)
+    with pytest.raises(ValueError, match="positivity"):
+        r_pos.map_estimate()
