@@ -54,6 +54,10 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--coarse-mode",
                    choices=["global", "soft", "block", "mixed"],
                    default="global")
+    p.add_argument("--prior-precision", type=float, default=0.0,
+                   help="Gaussian ridge prior precision tau (1/flux^2), "
+                        "sampler='direct' only; bounds the blur-null modes "
+                        "so PCG converges under heavy blur")
 
 
 def _build_instrument(args):
@@ -82,6 +86,7 @@ def cmd_run(args) -> int:
         initial=args.initial, spatial_mesh=args.spatial_shards,
         track_variance=not args.no_variance,
         coarse_every=args.coarse_every, coarse_mode=args.coarse_mode,
+        prior_precision=args.prior_precision,
         checkpoint_path=args.checkpoint, metrics_path=args.metrics,
     )
     run.run()
@@ -98,10 +103,11 @@ def cmd_map(args) -> int:
         args.cube, _build_instrument(args), max_iterations=1,
         direct_tol=args.tol, direct_maxiter=args.maxiter,
     )
-    run.map_estimate().to_fits(args.out)
+    run.map_estimate(prior_precision=args.prior_precision).to_fits(args.out)
     res = run.last_map_result
     print(json.dumps({
         "out": args.out, "tol": args.tol,
+        "prior_precision": args.prior_precision,
         "iterations": int(res.iterations),
         "rel_residual": float(res.rel_residual),
         # machine-readable: the stderr warning is easily lost in pipelines
@@ -140,6 +146,11 @@ def main(argv=None) -> int:
     mapp.add_argument("--out", default="deconv3d_map.fits")
     mapp.add_argument("--tol", type=float, default=1e-6)
     mapp.add_argument("--maxiter", type=int, default=500)
+    mapp.add_argument(
+        "--prior-precision", type=float, default=None,
+        help="Gaussian ridge prior precision tau (1/flux^2); restores CG "
+        "convergence under heavy blur (flat-prior operator near-singular)",
+    )
     for flag, kw in (
         ("--fsf", dict(choices=["moffat", "gaussian"], default="moffat")),
         ("--fsf-fwhm", dict(type=float, default=0.66)),

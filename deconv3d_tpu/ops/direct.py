@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 from typing import NamedTuple
 
 import jax
@@ -117,14 +118,36 @@ def _w_in(problem):
     return p.w_pad[:, h : h + p.Y, h : h + p.X]
 
 
-def make_normal_operator(problem):
-    """A(c) = P Kᵀ W K P c on the free subspace."""
+def _tau(problem, override=None) -> float:
+    """Resolved ridge-prior precision (config default, explicit override).
+
+    A static Python float — it bakes into the jitted program (a changed τ
+    recompiles, like any RunConfig knob).
+    """
+    t = problem.config.prior_precision if override is None else override
+    t = float(t)
+    if t < 0:
+        raise ValueError(f"prior_precision must be >= 0, got {t}")
+    return t
+
+
+def make_normal_operator(problem, prior_precision=None):
+    """A(c) = P (Kᵀ W K + τ I) P c on the free subspace.
+
+    τ = 0 (default) is the reference's flat prior; τ > 0 adds the Gaussian
+    ridge prior c ~ N(0, τ⁻¹I) that keeps A well-conditioned under heavy
+    blur (RunConfig.prior_precision).
+    """
     w = _w_in(problem)
     free = _free_mask(problem)
+    tau = _tau(problem, prior_precision)
 
     def A(c):
         kc = apply_K(problem, c * free)
-        return apply_KT(problem, kc * w) * free
+        out = apply_KT(problem, kc * w)
+        if tau > 0:
+            out = out + tau * c
+        return out * free
 
     return A
 
@@ -140,23 +163,15 @@ BANDED_BYTES_BUDGET = 2 * 2**30
 N_RADIAL_BINS = 256
 
 
-def make_preconditioner(problem, mode: str | None = None):
-    """M⁻¹ ≈ A⁻¹: per-spatial-frequency banded solves (or Jacobi).
-
-    'banded': Λ_k = w̄·Mᵀ diag(|F̂_k|²) M per rfft2 frequency of the (Y, X)
-    grid, banded-Cholesky factorised once; auto-switches to
-    'banded_radial' above BANDED_BYTES_BUDGET.  'banded_radial': one
-    factor per |k| bin (module docstring).  'jacobi': diag(A) ≈ per-voxel
-    qvox-style diagonal.  Returns a callable r -> M⁻¹ r.
-    """
+def _resolve_precond_mode(problem, mode: str | None = None) -> str:
+    """Resolve the effective preconditioner mode (incl. the size
+    auto-switch of 'banded' → 'banded_radial' above BANDED_BYTES_BUDGET)."""
     p = problem
     if mode is None:
         mode = p.config.direct_precond
-    w = _w_in(p)
-    free = _free_mask(p)
-    lw = int(p.lsf.shape[1])
     if mode == "banded":
         itemsize = np.dtype(p.config.dtype).itemsize  # f64 tables are 2×
+        lw = int(p.lsf.shape[1])
         dense_bytes = p.Y * (p.X // 2 + 1) * p.L * lw * itemsize
         if dense_bytes > BANDED_BYTES_BUDGET:
             import logging
@@ -167,22 +182,30 @@ def make_preconditioner(problem, mode: str | None = None):
                 dense_bytes / 2**30, N_RADIAL_BINS,
             )
             mode = "banded_radial"
-    if mode == "banded_radial":
-        return _make_radial_preconditioner(p)
+    if mode not in ("banded", "banded_radial", "jacobi"):
+        raise ValueError(f"unknown direct_precond {mode!r}")
+    return mode
+
+
+def _precond_state(problem, mode: str, tau: float):
+    """Device constants of M⁻¹ for a RESOLVED mode (a small pytree).
+
+    Split from the application (``_precond_apply``) so the host-loop PCG
+    can build the state in one jitted program and pass it as an ARGUMENT
+    to the per-iteration step program — captured device constants either
+    bloat the step's constant folding or (for cube-size tables) its temp
+    footprint.
+    """
+    p = problem
+    w = _w_in(p)
     if mode == "jacobi":
         # diag(A)[λ0,y,x] = Σ_μ M[μ,λ0]² (Σ_ab F[μ,a,b]² w[μ, y~, x~])
-        # ≈ qvox; the cheap fallback for very large fields.
+        # ≈ qvox; the cheap structure-free fallback.
         quad_like = _spatial(w, p.fsf[:, ::-1, ::-1] ** 2)
-        diag = banded.precision_diag(p.lsf, quad_like)
-        inv = jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
-
-        def Minv(r):
-            return r * inv * free
-
-        return Minv
-    if mode != "banded":
-        raise ValueError(f"unknown direct_precond {mode!r}")
-
+        diag = banded.precision_diag(p.lsf, quad_like) + tau
+        return jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
+    if mode == "banded_radial":
+        return _radial_state(p, tau)
     Y, X = p.Y, p.X
     dtype = p.config.dtype
     wbar = jnp.sum(w) / jnp.maximum(jnp.sum(w > 0), 1.0)
@@ -193,56 +216,75 @@ def make_preconditioner(problem, mode: str | None = None):
     # ridge: keeps near-null frequencies factorisable; scaled to the
     # problem's stiffest diagonal so it never dominates a live mode
     ridge = 1e-8 * jnp.max(bands[..., 0])
-    bands = bands.at[..., 0].add(ridge)
-    R = banded.cholesky_banded(bands)                # [Y, Xr, L, lw]
+    bands = bands.at[..., 0].add(ridge + tau)
+    return banded.cholesky_banded(bands)             # [Y, Xr, L, lw]
+
+
+def _precond_apply(problem, mode: str, state, r):
+    """Apply M⁻¹ given its precomputed ``state`` (see ``_precond_state``)."""
+    p = problem
+    free = _free_mask(p)
+    if mode == "jacobi":
+        return r * state * free
+    if mode == "banded_radial":
+        return _radial_apply(p, state, r)
+    R = state
+    Y, X = p.Y, p.X
+    dtype = p.config.dtype
 
     def solve_k(rhs):                                # [Y, Xr, L] real
         z = banded.solve_transposed_banded(R, rhs)
         return banded.solve_banded(R, z)
 
-    def Minv(r):                                     # r [L, Y, X]
-        rf = jnp.fft.rfft2(r.astype(dtype))          # [L, Y, Xr] complex
-        rf = jnp.moveaxis(rf, 0, -1)                 # [Y, Xr, L]
-        out = solve_k(jnp.real(rf)) + 1j * solve_k(jnp.imag(rf))
-        out = jnp.fft.irfft2(jnp.moveaxis(out, -1, 0), s=(Y, X))
-        return out.astype(r.dtype) * free
-
-    return Minv
+    rf = jnp.fft.rfft2(r.astype(dtype))              # [L, Y, Xr] complex
+    rf = jnp.moveaxis(rf, 0, -1)                     # [Y, Xr, L]
+    out = solve_k(jnp.real(rf)) + 1j * solve_k(jnp.imag(rf))
+    out = jnp.fft.irfft2(jnp.moveaxis(out, -1, 0), s=(Y, X))
+    return out.astype(r.dtype) * free
 
 
-def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS):
-    """Radially-binned Fourier-banded M⁻¹ (full-field scale), gather-free.
+def make_preconditioner(problem, mode: str | None = None,
+                        prior_precision=None):
+    """M⁻¹ ≈ A⁻¹: per-spatial-frequency banded solves (or Jacobi).
 
-    Frequencies are EQUAL-COUNT quantile-binned on |k|², so sorting them by
-    bin (a static permutation) makes every bin the same size M = ⌈K/B⌉
-    (pad rows for the remainder): the per-frequency solves then run as the
-    ordinary batched banded solves on [B, M, L] against ``R_bin[:, None]``
-    — pure broadcasting, no per-λ-step gathers (dynamic gathers serialize
-    on the TPU scalar core; the gather formulation measured minutes per
-    iteration).  Each bin's Λ uses the bin-MEAN spectral power, accumulated
-    λ-chunked so the full [L, Y, Xr] power cube is never materialised.
+    'banded': Λ_k = w̄·Mᵀ diag(|F̂_k|²) M per rfft2 frequency of the (Y, X)
+    grid, banded-Cholesky factorised once; auto-switches to
+    'banded_radial' above BANDED_BYTES_BUDGET.  'banded_radial': one
+    factor per |k| bin (module docstring).  'jacobi': diag(A) ≈ per-voxel
+    qvox-style diagonal.  Returns a callable r -> M⁻¹ r.
+
+    A ridge prior τ (RunConfig.prior_precision / the explicit override)
+    enters every mode exactly: +τ on the λ-band diagonal (the prior is
+    diagonal in ANY orthonormal basis, so the Fourier-space Λ_k gains
+    exactly +τI) / +τ on the Jacobi diagonal.
     """
     p = problem
-    Y, X, L = p.Y, p.X, p.L
-    dtype = p.config.dtype
-    w = _w_in(p)
-    free = _free_mask(p)
+    mode = _resolve_precond_mode(p, mode)
+    tau = _tau(p, prior_precision)
+    state = _precond_state(p, mode, tau)
+    return lambda r: _precond_apply(p, mode, state, r)
+
+
+@functools.lru_cache(maxsize=32)
+def _radial_layout(Y: int, X: int, n_bins: int):
+    """Host-static layout of the radial binning: equal-count quantile bins
+    on |k|² and the sorted-slot permutation (see ``_radial_state``).
+
+    Depends only on the grid shape — cached so the state builder and the
+    apply factory (which may live in different jit programs) agree without
+    recomputation.  Returns numpy arrays (static constants when traced).
+    """
     Xr = X // 2 + 1
     K = Y * Xr
     B = min(n_bins, K)
     M = -(-K // B)
-
-    # equal-count quantile bins on |k|² (host, static)
     ky = np.fft.fftfreq(Y)
     kx = np.fft.rfftfreq(X)
     r2 = (ky[:, None] ** 2 + kx[None, :] ** 2).ravel()
     order_np = np.argsort(r2, kind="stable")
     bin_np = np.empty(K, np.int64)
     bin_np[order_np] = np.arange(K, dtype=np.int64) * B // K
-    bin_idx = jnp.asarray(bin_np, jnp.int32)
-    counts = jnp.asarray(
-        np.bincount(bin_np, minlength=B).astype(np.float64), dtype
-    )
+    counts = np.bincount(bin_np, minlength=B).astype(np.float64)
     # sorted layout: row j of bin b sits at slot b·M + j; pad slots point
     # at a dead row (index K) that solves garbage and is dropped
     slot_of = np.full(B * M, K, np.int64)        # sorted-slot <- k index
@@ -251,14 +293,32 @@ def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS):
         b = bin_np[k]
         slot_of[b * M + fill[b]] = k
         fill[b] += 1
-    take_sorted = jnp.asarray(slot_of, jnp.int32)        # [B·M]
     inv = np.empty(K, np.int64)
     for s, k in enumerate(slot_of):
         if k < K:
             inv[k] = s
-    take_back = jnp.asarray(inv, jnp.int32)              # [K]
+    return (
+        B, M,
+        bin_np.astype(np.int32), counts,
+        slot_of.astype(np.int32), inv.astype(np.int32),
+    )
 
-    # bin-mean |F̂_k(λ)|², λ-chunked (a full-field power cube is 10 GB)
+
+def _radial_state(problem, tau: float, n_bins: int = N_RADIAL_BINS):
+    """Per-|k|-bin banded Cholesky factors [B, 1, L, lw] (≈56 MB full field).
+
+    Each bin's Λ uses the bin-MEAN spectral power, accumulated λ-chunked so
+    the full [L, Y, Xr] power cube is never materialised.
+    """
+    p = problem
+    Y, X, L = p.Y, p.X, p.L
+    dtype = p.config.dtype
+    w = _w_in(p)
+    B, M, bin_np, counts_np, _, _ = _radial_layout(Y, X, n_bins)
+    bin_idx = jnp.asarray(bin_np)
+    counts = jnp.asarray(counts_np, dtype)
+    K = Y * (X // 2 + 1)
+
     wbar = jnp.sum(w) / jnp.maximum(jnp.sum(w > 0), 1.0)
     chunk = 256
     parts = []
@@ -273,8 +333,29 @@ def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS):
 
     bands = banded.precision_bands(p.lsf, q_bin)             # [B, L, lw]
     ridge = 1e-8 * jnp.max(bands[..., 0])
-    bands = bands.at[..., 0].add(ridge)
-    R_bin = banded.cholesky_banded(bands)[:, None]           # [B, 1, L, lw]
+    bands = bands.at[..., 0].add(ridge + tau)
+    return banded.cholesky_banded(bands)[:, None]            # [B, 1, L, lw]
+
+
+def _radial_apply(problem, R_bin, r, n_bins: int = N_RADIAL_BINS):
+    """Radially-binned Fourier-banded M⁻¹ application, gather-free.
+
+    Frequencies are EQUAL-COUNT quantile-binned on |k|², so sorting them by
+    bin (a static permutation) makes every bin the same size M = ⌈K/B⌉
+    (pad rows for the remainder): the per-frequency solves then run as the
+    ordinary batched banded solves on [B, M, L] against ``R_bin[:, None]``
+    — pure broadcasting, no per-λ-step gathers (dynamic gathers serialize
+    on the TPU scalar core; the gather formulation measured minutes per
+    iteration).
+    """
+    p = problem
+    Y, X, L = p.Y, p.X, p.L
+    dtype = p.config.dtype
+    free = _free_mask(p)
+    B, M, _, _, slot_of, inv = _radial_layout(Y, X, n_bins)
+    take_sorted = jnp.asarray(slot_of)                       # [B·M]
+    take_back = jnp.asarray(inv)                             # [K]
+    K = Y * (X // 2 + 1)
 
     def solve_k(rhs):                                        # [K, L] real
         padded = jnp.concatenate(
@@ -284,15 +365,19 @@ def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS):
         out = banded.solve_banded(R_bin, z).reshape(B * M, L)
         return out[take_back]
 
-    def Minv(r):                                             # r [L, Y, X]
-        rf = jnp.fft.rfft2(r.astype(dtype))                  # [L, Y, Xr]
-        rs = jnp.moveaxis(rf, 0, -1).reshape(K, L)
-        out = solve_k(jnp.real(rs)) + 1j * solve_k(jnp.imag(rs))
-        out = jnp.moveaxis(out.reshape(Y, Xr, L), -1, 0)
-        out = jnp.fft.irfft2(out, s=(Y, X))
-        return out.astype(r.dtype) * free
+    rf = jnp.fft.rfft2(r.astype(dtype))                      # [L, Y, Xr]
+    rs = jnp.moveaxis(rf, 0, -1).reshape(K, L)
+    out = solve_k(jnp.real(rs)) + 1j * solve_k(jnp.imag(rs))
+    out = jnp.moveaxis(out.reshape(Y, X // 2 + 1, L), -1, 0)
+    out = jnp.fft.irfft2(out, s=(Y, X))
+    return out.astype(r.dtype) * free
 
-    return Minv
+
+def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS,
+                                prior_precision: float = 0.0):
+    """Closure form of the radial preconditioner (state + apply fused)."""
+    state = _radial_state(problem, prior_precision, n_bins)
+    return lambda r: _radial_apply(problem, state, r, n_bins)
 
 
 # ---------------------------------------------------------------------------
@@ -349,20 +434,186 @@ def pcg(A, Minv, b, tol: float, maxiter: int) -> PCGResult:
 
 
 # ---------------------------------------------------------------------------
+# Host-loop PCG (memory-lean: full-field geometry on one chip)
+# ---------------------------------------------------------------------------
+
+#: (weakref(problem), init/step programs) keyed by (id, mode, tau) — the
+#: step program compiles once per problem and is reused across draws.
+_HOST_PCG_CACHE: dict = {}
+
+
+def _host_pcg_programs(problem, mode: str, tau: float):
+    """Jitted (init, step) programs for ``pcg_host`` (cached per problem).
+
+    The step's cube-size carries (x, r, p) are DONATED, so XLA updates
+    them in place: peak device memory is carries + ONE iteration's
+    transients.  The monolithic jitted ``pcg`` while_loop program measured
+    18.2 GB total at full MUSE field (300×300×3681: 11.5 cube-size temps
+    + arguments + output — memory_analysis, 2026-08-18) and OOMs the
+    chip's ~15 GiB usable HBM; this layout fits with headroom.  The cost
+    is one host sync per iteration (~ms against ~1 s/iteration of
+    full-field compute).
+    """
+    from ..parallel.cache import evict_dead
+
+    evict_dead(_HOST_PCG_CACHE)
+    ckey = (id(problem), mode, tau)
+    ent = _HOST_PCG_CACHE.get(ckey)
+    if ent is not None and ent[0]() is problem:
+        return ent[1], ent[2]
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def init(pp, pstate, b):
+        # r0 aliases the donated b; z0 doubles as p0
+        bnorm = jnp.sqrt(jnp.sum(b * b))
+        z0 = _precond_apply(pp, mode, pstate, b)
+        rz0 = jnp.sum(b * z0)
+        x0 = jnp.zeros_like(b)
+        return x0, b, z0, rz0, bnorm
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
+    def step(pp, pstate, x, r, pvec, rz):
+        A = make_normal_operator(pp, tau)
+        Ap = A(pvec)
+        denom = jnp.sum(pvec * Ap)
+        alpha = jnp.where(denom <= 0, 0.0, rz / jnp.maximum(denom, 1e-30))
+        x = x + alpha * pvec
+        r = r - alpha * Ap
+        z = _precond_apply(pp, mode, pstate, r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz <= 0, 0.0, rz_new / jnp.maximum(rz, 1e-30))
+        pvec = z + beta * pvec
+        rnorm = jnp.sqrt(jnp.sum(r * r))
+        return x, r, pvec, rz_new, rnorm
+
+    _HOST_PCG_CACHE[ckey] = (weakref.ref(problem), init, step)
+    return init, step
+
+
+def pcg_host(problem, b, tol: float, maxiter: int,
+             mode: str | None = None, prior_precision=None,
+             pstate=None) -> PCGResult:
+    """PCG as a host-level loop over a donated-carry jitted step.
+
+    Same arithmetic per iteration as ``pcg`` (update order identical; the
+    convergence test runs on host instead of in ``lax.while_loop``), so
+    the two agree to float-reduction tolerance — but the peak HBM is
+    carries + one iteration's transients, which is what lets a full MUSE
+    field solve on a single 16 GB chip.  Not jittable (host control
+    flow); the jitted-everything path stays ``pcg``.
+
+    ``pstate``: optional precomputed ``_precond_state`` (reused across the
+    draws of one run); built here (jitted) when None.
+    """
+    p = problem
+    mode = _resolve_precond_mode(p, mode)
+    tau = _tau(p, prior_precision)
+    init, step = _host_pcg_programs(p, mode, tau)
+    if pstate is None:
+        pstate = jax.jit(
+            lambda pp: _precond_state(pp, mode, tau)
+        )(p)
+    x, r, pvec, rz, bnorm = init(p, pstate, b)
+    bfloor = max(float(bnorm), 1e-30)
+    it = 0
+    rnorm = float(bnorm)  # r0 = b exactly
+    while it < maxiter and rnorm > tol * bfloor:
+        x, r, pvec, rz, rnorm_dev = step(p, pstate, x, r, pvec, rz)
+        rnorm = float(rnorm_dev)
+        it += 1
+    return PCGResult(
+        x=x,
+        iterations=jnp.asarray(it, jnp.int32),
+        rel_residual=jnp.asarray(rnorm / bfloor, x.dtype),
+    )
+
+
+#: the monolithic jitted-PCG program (lax.while_loop) measured ~15
+#: cube-size buffers total at the full MUSE field (memory_analysis,
+#: 2026-08-18: 11.5 cubes temp + args + output = 18.2 GB — OOMs a 16 GB
+#: chip); when that estimate exceeds this budget the host-loop layout
+#: (donated carries, ~8 cube-size peak) is selected instead.
+PCG_WHILE_BYTES_BUDGET = 6 * 2**30
+
+
+def _pcg_while_bytes(problem) -> int:
+    p = problem
+    return 15 * p.L * p.Y * p.X * np.dtype(p.config.dtype).itemsize
+
+
+# ---------------------------------------------------------------------------
 # Posterior draws + the run_sweeps contract
 # ---------------------------------------------------------------------------
 
-def posterior_mean(problem, tol=None, maxiter=None) -> PCGResult:
-    """μ = A⁻¹ Kᵀ W d (the MAP == posterior mean of the Gaussian)."""
+def posterior_mean(problem, tol=None, maxiter=None,
+                   prior_precision=None) -> PCGResult:
+    """μ = A⁻¹ Kᵀ W d (the MAP == posterior mean of the Gaussian).
+
+    ``prior_precision`` overrides ``config.prior_precision`` for THIS
+    solve — a ridge MAP on a flat-prior (MCMC-configured) problem without
+    touching its sampler config (``Run.map_estimate`` passes it through).
+    """
     p = problem
     cfg = p.config
     h = p.f // 2
     d = p.data_pad[:, h : h + p.Y, h : h + p.X]
     b = apply_KT(p, d * _w_in(p)) * _free_mask(p)
     return pcg(
-        make_normal_operator(p), make_preconditioner(p), b,
+        make_normal_operator(p, prior_precision),
+        make_preconditioner(p, prior_precision=prior_precision), b,
         cfg.direct_tol if tol is None else tol,
         cfg.direct_maxiter if maxiter is None else maxiter,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tol", "maxiter", "prior_precision")
+)
+def posterior_mean_jit(problem, tol=None, maxiter=None, prior_precision=None):
+    """Jitted ``posterior_mean`` (stable jit cache across calls).
+
+    Eager execution is not an option on every backend: the preconditioner's
+    complex arithmetic (``solve_k(re) + 1j·solve_k(im)``) hits UNIMPLEMENTED
+    outside jit on the axon TPU plugin — the facade's MAP path goes through
+    here.
+    """
+    return posterior_mean(problem, tol, maxiter, prior_precision)
+
+
+@jax.jit
+def _b_mean(problem):
+    """b = Kᵀ W d on the free subspace (the MAP right-hand side)."""
+    p = problem
+    h = p.f // 2
+    d = p.data_pad[:, h : h + p.Y, h : h + p.X]
+    return apply_KT(p, d * _w_in(p)) * _free_mask(p)
+
+
+def posterior_mean_host(problem, tol=None, maxiter=None,
+                        prior_precision=None) -> PCGResult:
+    """``posterior_mean`` via the host-loop PCG (full-field scale)."""
+    cfg = problem.config
+    return pcg_host(
+        problem, _b_mean(problem),
+        cfg.direct_tol if tol is None else tol,
+        cfg.direct_maxiter if maxiter is None else maxiter,
+        prior_precision=prior_precision,
+    )
+
+
+def posterior_mean_auto(problem, tol=None, maxiter=None,
+                        prior_precision=None) -> PCGResult:
+    """MAP solve with the memory-appropriate PCG layout.
+
+    Small problems jit the whole solve (``posterior_mean_jit``); above
+    ``PCG_WHILE_BYTES_BUDGET`` the monolithic program cannot fit HBM and
+    the host-loop layout runs instead (identical arithmetic per
+    iteration).
+    """
+    if _pcg_while_bytes(problem) > PCG_WHILE_BYTES_BUDGET:
+        return posterior_mean_host(problem, tol, maxiter, prior_precision)
+    return posterior_mean_jit(
+        problem, tol=tol, maxiter=maxiter, prior_precision=prior_precision
     )
 
 
@@ -372,8 +623,15 @@ def _one_draw(problem, key, A, Minv):
     h = p.f // 2
     w = _w_in(p)
     d = p.data_pad[:, h : h + p.Y, h : h + p.X]
-    z = jax.random.normal(key, d.shape, dtype=cfg.dtype)
+    tau = _tau(p)
+    k1, k2 = jax.random.split(key)
+    z = jax.random.normal(k1, d.shape, dtype=cfg.dtype)
     b = apply_KT(p, d * w + jnp.sqrt(w) * z) * _free_mask(p)
+    if tau > 0:
+        # perturb the prior too:  Cov(b) = KᵀWK + τI = A_τ  ⇒  A_τ⁻¹b is an
+        # exact draw from the proper posterior N(A_τ⁻¹KᵀWd, A_τ⁻¹).
+        z2 = jax.random.normal(k2, d.shape, dtype=cfg.dtype)
+        b = b + jnp.sqrt(tau) * z2 * _free_mask(p)
     return pcg(A, Minv, b, cfg.direct_tol, cfg.direct_maxiter)
 
 
@@ -447,5 +705,120 @@ def direct_run_sweeps(problem, state, n_sweeps: int):
     )
     return sm.ChainResult(
         state=state, chi2_trace=chi2_t, accept_trace=acc_t,
+        flux_trace=flux_t, monitor_trace=mon_t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-loop draws (full-field geometry on one chip)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _b_draw(problem, key):
+    """Perturbed right-hand side of one draw (bit-identical to the build
+    inside ``_one_draw`` — same key splits, same op order)."""
+    p = problem
+    cfg = p.config
+    h = p.f // 2
+    w = _w_in(p)
+    d = p.data_pad[:, h : h + p.Y, h : h + p.X]
+    tau = _tau(p)
+    k1, k2 = jax.random.split(key)
+    z = jax.random.normal(k1, d.shape, dtype=cfg.dtype)
+    b = apply_KT(p, d * w + jnp.sqrt(w) * z) * _free_mask(p)
+    if tau > 0:
+        z2 = jax.random.normal(k2, d.shape, dtype=cfg.dtype)
+        b = b + jnp.sqrt(tau) * z2 * _free_mask(p)
+    return b
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("keep",))
+def _host_draw_update(problem, state, x, parent_key, rel_residual, keep):
+    """State/trace bookkeeping of one draw (mirrors the scan body of
+    ``direct_run_sweeps``); the old state is DONATED so the cube-size
+    accumulators update in place."""
+    from .. import sampler as sm
+
+    p = problem
+    cfg = p.config
+    h = p.f // 2
+    clean = jnp.zeros((p.L, p.Yc, p.Xc), cfg.dtype).at[
+        :, : p.Y, : p.X
+    ].set(x)
+    conv = apply_K(p, x)
+    resid = p.data_pad.at[:, h : h + p.Y, h : h + p.X].add(-conv)
+    resid = jnp.where(p.w_pad > 0, resid, 0.0)
+    chi2 = jnp.sum(resid * resid * p.w_pad, dtype=jnp.float32)
+    validf = p.valid.astype(cfg.dtype)
+    n_free = (jnp.sum(_free_mask(p)) * p.L).astype(jnp.float32)
+    kc = jnp.asarray(keep, cfg.dtype)
+    new = sm.SamplerState(
+        clean=clean,
+        resid=resid,
+        key=parent_key,
+        chi2=chi2,
+        chi2_comp=jnp.zeros((), jnp.float32),
+        log_scale=state.log_scale,
+        n_accept=state.n_accept + n_free,
+        n_propose=state.n_propose + n_free,
+        sum_clean=state.sum_clean + kc * clean,
+        sum_sq=(
+            state.sum_sq + kc * clean * clean
+            if cfg.track_variance else state.sum_sq
+        ),
+        n_kept=state.n_kept + jnp.float32(keep),
+        sweep=state.sweep + 1,
+    )
+    trace = (
+        chi2,
+        (rel_residual <= cfg.direct_tol).astype(jnp.float32),
+        jnp.sum(clean * validf[None], dtype=jnp.float32),
+        clean.reshape(-1)[p.monitor_idx],
+    )
+    return new, trace
+
+
+def direct_run_sweeps_host(problem, state, n_sweeps: int):
+    """``direct_run_sweeps`` as a host-level draw loop (ChainResult contract).
+
+    Chain-identical to the jitted scan (same RNG split sequence, same b
+    build, the same PCG arithmetic per iteration — only the convergence
+    check moves to host), but every stage is its own dispatch with donated
+    carries, bounding peak HBM to the largest single stage instead of the
+    whole program: the jitted while_loop PCG alone measured 18.2 GB at the
+    full MUSE field (see ``_host_pcg_programs``), while this layout's peak
+    is the step program (~8 cube-size buffers + the problem constants).
+    ``run_sweeps`` auto-routes here above ``PCG_WHILE_BYTES_BUDGET``.
+    """
+    from .. import sampler as sm
+
+    p = problem
+    cfg = p.config
+    mode = _resolve_precond_mode(p, None)
+    tau = _tau(p)
+    pstate = jax.jit(
+        lambda pp: _precond_state(pp, mode, tau)
+    )(p)
+    burn = cfg.resolved_burn_in()
+    sweep0 = int(state.sweep)
+    st = state
+    traces = []
+    for i in range(n_sweeps):
+        idx = sweep0 + i
+        keep = 1.0 if (idx >= burn and (idx - burn) % cfg.keep_one_in == 0) \
+            else 0.0
+        key, sub = jax.random.split(st.key)
+        b = _b_draw(p, sub)
+        res = pcg_host(p, b, cfg.direct_tol, cfg.direct_maxiter,
+                       mode=mode, pstate=pstate)
+        st, tr = _host_draw_update(
+            p, st, res.x, key, res.rel_residual, keep=keep
+        )
+        traces.append(tr)
+    chi2_t, acc_t, flux_t, mon_t = (
+        jnp.stack([t[j] for t in traces]) for j in range(4)
+    )
+    return sm.ChainResult(
+        state=st, chi2_trace=chi2_t, accept_trace=acc_t,
         flux_trace=flux_t, monitor_trace=mon_t,
     )

@@ -146,6 +146,7 @@ def posterior_mean_sharded(
     axis_name: str | None = None,
     tol: float | None = None,
     maxiter: int | None = None,
+    prior_precision: float | None = None,
 ):
     """``ops.direct.posterior_mean`` over a device mesh (PCGResult).
 
@@ -165,7 +166,8 @@ def posterior_mean_sharded(
     evict_dead(_PROGRAM_CACHE)
     tol_v = p.config.direct_tol if tol is None else float(tol)
     max_v = p.config.direct_maxiter if maxiter is None else int(maxiter)
-    ckey = ("pm", id(p), mesh, axis_name, tol_v, max_v)
+    tau_v = _dr._tau(p, prior_precision)
+    ckey = ("pm", id(p), mesh, axis_name, tol_v, max_v, tau_v)
     ent = _PROGRAM_CACHE.get(ckey)
     if ent is None or ent[0]() is not p:
         x_sh = NamedSharding(
@@ -177,7 +179,9 @@ def posterior_mean_sharded(
         )
         rep = NamedSharding(mesh, P())
         fn = jax.jit(
-            lambda pp: _dr.posterior_mean(pp, tol=tol_v, maxiter=max_v),
+            lambda pp: _dr.posterior_mean(
+                pp, tol=tol_v, maxiter=max_v, prior_precision=tau_v
+            ),
             out_shardings=_dr.PCGResult(
                 x=x_sh, iterations=rep, rel_residual=rep
             ),

@@ -72,6 +72,7 @@ class Run:
         direct_tol: float = 1e-6,
         direct_maxiter: int = 500,
         direct_precond: str = "banded",
+        prior_precision: float = 0.0,
     ):
         if isinstance(cube, str):
             cube = (
@@ -180,6 +181,7 @@ class Run:
             direct_tol=direct_tol,
             direct_maxiter=direct_maxiter,
             direct_precond=direct_precond,
+            prior_precision=prior_precision,
         )
         self.problem = sm.make_problem(cube, self.instrument, self.config)
         self._states = None  # lazy — see the states property
@@ -350,7 +352,8 @@ class Run:
         return float(acc / max(nprop, 1.0))
 
     def map_estimate(self, tol: Optional[float] = None,
-                     maxiter: Optional[int] = None) -> Cube:
+                     maxiter: Optional[int] = None,
+                     prior_precision: Optional[float] = None) -> Cube:
         """MAP (= posterior mean of the linear-Gaussian model) by PCG.
 
         Deterministic and sampler-independent: solves  A c = Kᵀ W d  with
@@ -361,6 +364,14 @@ class Run:
         ``deconvolved_cube()`` (the MCMC posterior mean with per-voxel
         uncertainty); use this for a fast point estimate or as a
         cross-check that the chains converged where they should.
+
+        ``prior_precision`` (τ > 0) adds a Gaussian ridge prior
+        c ~ N(0, τ⁻¹I) for THIS solve only: under heavy blur the flat-
+        prior normal operator is near-singular and CG stalls (measured at
+        rel≈0.06 in f32 and f64 alike on a chromatic-Moffat toy) — a weak
+        ridge bounds the blur-null modes and restores convergence.  Pick
+        τ ≈ (k·flux_scale)⁻² with k ~ 3-10 so the prior stays weaker than
+        the likelihood wherever the data constrain.
 
         With ``spatial_mesh`` set the solve runs GSPMD-sharded over the
         mesh (parallel/direct_sharded.posterior_mean_sharded) — the MAP of
@@ -390,11 +401,17 @@ class Run:
                 # spatial axis only (it is one deterministic solve, not
                 # per-chain work)
                 axis_name=names[-1], tol=tol, maxiter=maxiter,
+                prior_precision=prior_precision,
             )
         else:
-            from .ops.direct import posterior_mean
+            # memory-appropriate PCG layout: fully jitted for small
+            # problems, host-loop (donated carries) at full-field scale
+            from .ops.direct import posterior_mean_auto
 
-            res = posterior_mean(self.problem, tol=tol, maxiter=maxiter)
+            res = posterior_mean_auto(
+                self.problem, tol=tol, maxiter=maxiter,
+                prior_precision=prior_precision,
+            )
         self.last_map_result = res
         if float(res.rel_residual) > (
             tol if tol is not None else self.config.direct_tol

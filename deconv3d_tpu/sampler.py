@@ -137,6 +137,19 @@ class RunConfig:
     # convergence flag rides the accept trace either way.
     direct_maxiter: int = 500
     direct_precond: str = "banded"
+    # Optional Gaussian ridge prior  c ~ N(0, prior_precision⁻¹ I)  on the
+    # free voxels, for sampler='direct' and MAP solves only (the MCMC
+    # engines keep the reference's flat prior).  Under heavy blur the
+    # flat-prior normal operator KᵀWK is near-singular — CG stalls at
+    # rel≈0.06 regardless of preconditioner or precision (measured f32 AND
+    # f64 on the chromatic-Moffat f=9 toy) because the blur-null modes are
+    # statistically unconstrained.  A proper prior bounds them: A becomes
+    # KᵀWK + τI, the perturb-and-solve draw stays EXACT for the modified
+    # (proper) posterior (the prior is perturbed too: b += √τ·z₂), and the
+    # Fourier preconditioner absorbs +τ into its λ-band diagonals.  Units:
+    # 1/flux² — e.g. τ = (3·σ_flux_max)⁻² keeps the prior weaker than the
+    # likelihood everywhere the data constrain.  0 = flat (default).
+    prior_precision: float = 0.0
 
     def resolved_burn_in(self) -> int:
         if self.burn_in is not None:
@@ -339,6 +352,18 @@ def make_problem(
             "sampler='direct' draws from the exact joint Gaussian; the "
             "positivity-truncated joint has no closed form — use "
             "sampler='gibbs' (exact truncated-normal voxel draws)."
+        )
+    if config.prior_precision < 0:
+        raise ValueError(
+            f"prior_precision must be >= 0, got {config.prior_precision}"
+        )
+    if config.prior_precision > 0 and config.sampler != "direct":
+        raise ValueError(
+            "prior_precision (Gaussian ridge prior) is implemented for "
+            "sampler='direct' and MAP solves only — the MCMC engines "
+            "sample the reference's flat-prior posterior.  For a ridge "
+            "MAP on any run, pass prior_precision to Run.map_estimate() "
+            "instead of the config."
         )
     if config.sampler == "direct":
         # pure XLA conv/FFT path — the fused kernels have no role here
@@ -1221,6 +1246,22 @@ def _engine_run_sweeps(
         from .ops.pallas_tiled import tiled_run_sweeps
 
         return tiled_run_sweeps(problem, state, n_sweeps)
+    if problem.config.sampler == "direct":
+        from .ops.direct import (
+            PCG_WHILE_BYTES_BUDGET, _pcg_while_bytes,
+            direct_run_sweeps_host,
+        )
+
+        # Full-field draws: the monolithic jitted PCG program OOMs one
+        # chip's HBM (measured 18.2 GB at 300×300×3681) — run the host-
+        # level draw loop with donated carries instead.  Under a trace
+        # (vmapped chains) host control flow is unavailable; the jitted
+        # path below handles that (and the small-problem common case).
+        if (
+            not isinstance(state.key, jax.core.Tracer)
+            and _pcg_while_bytes(problem) > PCG_WHILE_BYTES_BUDGET
+        ):
+            return direct_run_sweeps_host(problem, state, n_sweeps)
     if state.resid.nbytes > 2**28:
         # Huge fields: donate the state so XLA updates the ~10 GB pytree in
         # place instead of holding input+output copies (the full MUSE field
