@@ -337,6 +337,12 @@ def _radial_state(problem, tau: float, n_bins: int = N_RADIAL_BINS):
     return banded.cholesky_banded(bands)[:, None]            # [B, 1, L, lw]
 
 
+#: λ-planes per chunk of the memory-lean radial application; also the
+#: cube-bytes threshold above which it replaces the single-shot layout
+RADIAL_CHUNK_L = 256
+RADIAL_CHUNK_BYTES = 2**28
+
+
 def _radial_apply(problem, R_bin, r, n_bins: int = N_RADIAL_BINS):
     """Radially-binned Fourier-banded M⁻¹ application, gather-free.
 
@@ -347,6 +353,14 @@ def _radial_apply(problem, R_bin, r, n_bins: int = N_RADIAL_BINS):
     — pure broadcasting, no per-λ-step gathers (dynamic gathers serialize
     on the TPU scalar core; the gather formulation measured minutes per
     iteration).
+
+    Above ``RADIAL_CHUNK_BYTES`` per cube the memory-lean layout runs
+    instead: the rfft2/transpose stages stream λ-chunks into two [B·M, L]
+    sorted-layout buffers (never materialising the full complex cube or
+    its moveaxis copy), and the banded solves run per bin-GROUP with
+    in-place row updates — measured difference at the full MUSE field:
+    the single-shot layout's ~4 cube-size transients OOM'd the product
+    draw path; this one fits.
     """
     p = problem
     Y, X, L = p.Y, p.X, p.L
@@ -355,22 +369,62 @@ def _radial_apply(problem, R_bin, r, n_bins: int = N_RADIAL_BINS):
     B, M, _, _, slot_of, inv = _radial_layout(Y, X, n_bins)
     take_sorted = jnp.asarray(slot_of)                       # [B·M]
     take_back = jnp.asarray(inv)                             # [K]
-    K = Y * (X // 2 + 1)
+    Xr = X // 2 + 1
+    K = Y * Xr
+
+    if L * Y * X * np.dtype(dtype).itemsize <= RADIAL_CHUNK_BYTES:
+        def solve_k(rhs):                                    # [K, L] real
+            padded = jnp.concatenate(
+                [rhs, jnp.zeros((1, L), rhs.dtype)]
+            )[take_sorted].reshape(B, M, L)
+            z = banded.solve_transposed_banded(R_bin, padded)
+            out = banded.solve_banded(R_bin, z).reshape(B * M, L)
+            return out[take_back]
+
+        rf = jnp.fft.rfft2(r.astype(dtype))                  # [L, Y, Xr]
+        rs = jnp.moveaxis(rf, 0, -1).reshape(K, L)
+        out = solve_k(jnp.real(rs)) + 1j * solve_k(jnp.imag(rs))
+        out = jnp.moveaxis(out.reshape(Y, Xr, L), -1, 0)
+        out = jnp.fft.irfft2(out, s=(Y, X))
+        return out.astype(r.dtype) * free
+
+    # ---- memory-lean layout (full-field scale) ---------------------------
+    # Same permutation count as the single-shot layout (one gather to the
+    # sorted layout and one back, per real/imag part); only the monolithic
+    # complex cube + moveaxis copies are replaced by λ-chunked FFTs with
+    # CONTIGUOUS column writes.  (A first cut scattered every chunk via
+    # .at[take_back].set — 45k-row scatters per chunk measured ~6.3 s per
+    # CG iteration vs 0.6 s for this layout.)
+    chunk = RADIAL_CHUNK_L
+    rs_re = jnp.zeros((K, L), dtype)
+    rs_im = jnp.zeros((K, L), dtype)
+    for lo in range(0, L, chunk):
+        hi = min(lo + chunk, L)
+        rf = jnp.fft.rfft2(r[lo:hi].astype(dtype))           # [lc, Y, Xr]
+        rf = rf.reshape(hi - lo, K).T                        # [K, lc]
+        rs_re = rs_re.at[:, lo:hi].set(jnp.real(rf))
+        rs_im = rs_im.at[:, lo:hi].set(jnp.imag(rf))
 
     def solve_k(rhs):                                        # [K, L] real
-        padded = jnp.concatenate(
-            [rhs, jnp.zeros((1, L), rhs.dtype)]
-        )[take_sorted].reshape(B, M, L)
+        padded = jnp.take(rhs, take_sorted, axis=0,
+                          mode="fill", fill_value=0).reshape(B, M, L)
         z = banded.solve_transposed_banded(R_bin, padded)
         out = banded.solve_banded(R_bin, z).reshape(B * M, L)
         return out[take_back]
 
-    rf = jnp.fft.rfft2(r.astype(dtype))                      # [L, Y, Xr]
-    rs = jnp.moveaxis(rf, 0, -1).reshape(K, L)
-    out = solve_k(jnp.real(rs)) + 1j * solve_k(jnp.imag(rs))
-    out = jnp.moveaxis(out.reshape(Y, X // 2 + 1, L), -1, 0)
-    out = jnp.fft.irfft2(out, s=(Y, X))
-    return out.astype(r.dtype) * free
+    rs_re = solve_k(rs_re)
+    rs_im = solve_k(rs_im)
+
+    # λ-chunked inverse FFTs into the output cube (contiguous column reads)
+    out_cube = jnp.zeros((L, Y, X), r.dtype)
+    for lo in range(0, L, chunk):
+        hi = min(lo + chunk, L)
+        rows = rs_re[:, lo:hi] + 1j * rs_im[:, lo:hi]        # [K, lc]
+        plane = rows.T.reshape(hi - lo, Y, Xr)
+        out_cube = out_cube.at[lo:hi].set(
+            jnp.fft.irfft2(plane, s=(Y, X)).astype(r.dtype)
+        )
+    return out_cube * free
 
 
 def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS,

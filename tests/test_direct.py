@@ -237,6 +237,22 @@ def test_radial_preconditioner_solves_exactly(rng):
     )
 
 
+def test_radial_apply_lean_layout_matches(rng, monkeypatch):
+    """The memory-lean (λ-chunked, grouped in-place solves) radial layout
+    must be numerically identical to the single-shot layout — it exists
+    for HBM reasons only (full-field product path OOM'd without it)."""
+    p, *_ = _problem(rng, Y=16, X=16, fsf_fwhm=0.4, fsf_size=5,
+                     lsf_fwhm=2.0, lsf_width=5,
+                     direct_precond="banded_radial")
+    state = dr._radial_state(p, 0.0)
+    v = jnp.asarray(rng.standard_normal((p.L, p.Y, p.X)))
+    ref = np.asarray(dr._radial_apply(p, state, v))
+    monkeypatch.setattr(dr, "RADIAL_CHUNK_BYTES", 1)
+    monkeypatch.setattr(dr, "RADIAL_CHUNK_L", 3)   # several chunks + remainder
+    lean = np.asarray(dr._radial_apply(p, state, v))
+    np.testing.assert_allclose(lean, ref, rtol=1e-9, atol=1e-11)
+
+
 def test_banded_auto_switches_to_radial(rng, monkeypatch):
     p, *_ = _problem(rng)
     monkeypatch.setattr(dr, "BANDED_BYTES_BUDGET", 16)
