@@ -832,7 +832,164 @@ def _host_draw_update(problem, state, x, parent_key, rel_residual, keep):
     return new, trace
 
 
-def direct_run_sweeps_host(problem, state, n_sweeps: int):
+#: cube size above which the host draw loop runs the LEAN state layout
+#: (clean/resid dropped between draws — see ``direct_run_sweeps_host``)
+DIRECT_LEAN_BYTES = 2**30
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(1, 2), static_argnames=("keep",)
+)
+def _lean_draw_update(problem, sum_clean, sum_sq, x, rel_residual, keep):
+    """Accumulator/trace bookkeeping of one LEAN-mode draw.
+
+    Unlike ``_host_draw_update`` this never materialises the padded
+    ``clean``/``resid`` state cubes: chi² reduces the residual transient
+    in the interior frame (w_pad is zero in the pad frame, so the sum is
+    the same), the monitors gather straight from the unpadded draw, and
+    ``sum_clean`` (donated) updates in place on its interior window.
+    """
+    p = problem
+    cfg = p.config
+    h = p.f // 2
+    w = _w_in(p)
+    d = p.data_pad[:, h : h + p.Y, h : h + p.X]
+    conv = apply_K(p, x)
+    r = jnp.where(w > 0, d - conv, 0.0)
+    chi2 = jnp.sum(r * r * w, dtype=jnp.float32)
+    validf = p.valid[: p.Y, : p.X].astype(cfg.dtype)
+    flux = jnp.sum(x * validf[None], dtype=jnp.float32)
+    # monitor_idx indexes the flattened PADDED clean [L, Yc, Xc]; decompose
+    # to (λ, y, x) — monitored voxels are valid spaxels, hence inside (Y, X)
+    plane = p.Yc * p.Xc
+    lam = p.monitor_idx // plane
+    rem = p.monitor_idx % plane
+    mon = x[lam, rem // p.Xc, rem % p.Xc]
+    kc = jnp.asarray(keep, cfg.dtype)
+    sum_clean = sum_clean.at[:, : p.Y, : p.X].add(kc * x)
+    if cfg.track_variance:
+        sum_sq = sum_sq.at[:, : p.Y, : p.X].add(kc * x * x)
+    trace = (
+        chi2,
+        (rel_residual <= cfg.direct_tol).astype(jnp.float32),
+        flux,
+        mon,
+    )
+    return sum_clean, sum_sq, chi2, trace
+
+
+@jax.jit
+def _lean_final_state(problem, x):
+    """Padded ``clean``/``resid`` of the segment's LAST draw.
+
+    ``x`` is NOT donated: it feeds two consumers with differently-padded
+    output shapes, so XLA cannot alias it anyway (donating only produced
+    an unusable-donation warning on-chip).
+    """
+    p = problem
+    h = p.f // 2
+    conv = apply_K(p, x)
+    resid = p.data_pad.at[:, h : h + p.Y, h : h + p.X].add(-conv)
+    resid = jnp.where(p.w_pad > 0, resid, 0.0)
+    clean = jnp.zeros((p.L, p.Yc, p.Xc), p.config.dtype).at[
+        :, : p.Y, : p.X
+    ].set(x)
+    return clean, resid
+
+
+def _maybe_delete(a) -> None:
+    """Free a device buffer if ``a`` is a live, deletable jax array."""
+    try:
+        if isinstance(a, jax.Array) and not a.is_deleted():
+            a.delete()
+    except Exception:  # tracers, committed-elsewhere arrays: leave alone
+        pass
+
+
+def _lean_run_sweeps_host(problem, state, n_sweeps, mode, pstate):
+    """LEAN full-field draw loop: the segment carries ONLY ``sum_clean``
+    (+ scalars) between draws.
+
+    Direct draws are independent — the incoming ``clean``/``resid`` are
+    never read by the next draw, yet at full MUSE field they pin 2.7 GB of
+    HBM while the PCG needs every byte (measured: constants 2.8 + carries
+    3.8 + step temps 4.6 GB; the full state on top OOMs the chip).  This
+    layout CONSUMES the incoming state's cube buffers (like the donated
+    jnp engine path at the same scale — ``_jnp_run_sweeps_donated``) and
+    rebuilds ``clean``/``resid`` once from the final draw.  Offloading the
+    idle cubes to host instead is ruled out by the measured tunnel
+    transfer rate (~0.01 GB/s device→host, 2026-08-18 — minutes per cube).
+
+    ``track_variance=True`` carries a second cube-size accumulator
+    (``sum_sq``) through the solves — at full MUSE field that spends the
+    remaining headroom; prefer ``track_variance=False`` there.
+    """
+    from .. import sampler as sm
+
+    p = problem
+    cfg = p.config
+    burn = cfg.resolved_burn_in()
+    sweep0 = int(state.sweep)
+    key = state.key
+    log_scale = state.log_scale
+    n_accept = state.n_accept
+    n_propose = state.n_propose
+    sum_clean = state.sum_clean
+    sum_sq = state.sum_sq
+    n_kept = state.n_kept
+    n_free = float(np.asarray(
+        jnp.sum(_free_mask(p)) * p.L
+    ))
+    # consume the incoming state (its clean/resid are rebuilt at the end)
+    _maybe_delete(state.clean)
+    _maybe_delete(state.resid)
+    del state
+
+    x = None
+    traces = []
+    for i in range(n_sweeps):
+        idx = sweep0 + i
+        keep = 1.0 if (idx >= burn and (idx - burn) % cfg.keep_one_in == 0) \
+            else 0.0
+        key, sub = jax.random.split(key)
+        if x is not None:
+            _maybe_delete(x)  # previous draw: consumed by its update already
+        b = _b_draw(p, sub)
+        res = pcg_host(p, b, cfg.direct_tol, cfg.direct_maxiter,
+                       mode=mode, pstate=pstate)
+        x = res.x
+        sum_clean, sum_sq, chi2, tr = _lean_draw_update(
+            p, sum_clean, sum_sq, x, res.rel_residual, keep=keep
+        )
+        n_accept = n_accept + n_free
+        n_propose = n_propose + n_free
+        n_kept = n_kept + jnp.float32(keep)
+        traces.append(tr)
+    clean, resid = _lean_final_state(p, x)
+    st = sm.SamplerState(
+        clean=clean,
+        resid=resid,
+        key=key,
+        chi2=traces[-1][0],
+        chi2_comp=jnp.zeros((), jnp.float32),
+        log_scale=log_scale,
+        n_accept=jnp.asarray(n_accept, jnp.float32),
+        n_propose=jnp.asarray(n_propose, jnp.float32),
+        sum_clean=sum_clean,
+        sum_sq=sum_sq,
+        n_kept=n_kept,
+        sweep=jnp.asarray(sweep0 + n_sweeps, jnp.int32),
+    )
+    chi2_t, acc_t, flux_t, mon_t = (
+        jnp.stack([t[j] for t in traces]) for j in range(4)
+    )
+    return sm.ChainResult(
+        state=st, chi2_trace=chi2_t, accept_trace=acc_t,
+        flux_trace=flux_t, monitor_trace=mon_t,
+    )
+
+
+def direct_run_sweeps_host(problem, state, n_sweeps: int, lean=None):
     """``direct_run_sweeps`` as a host-level draw loop (ChainResult contract).
 
     Chain-identical to the jitted scan (same RNG split sequence, same b
@@ -843,16 +1000,38 @@ def direct_run_sweeps_host(problem, state, n_sweeps: int):
     full MUSE field (see ``_host_pcg_programs``), while this layout's peak
     is the step program (~8 cube-size buffers + the problem constants).
     ``run_sweeps`` auto-routes here above ``PCG_WHILE_BYTES_BUDGET``.
+
+    ``lean`` (default: auto above ``DIRECT_LEAN_BYTES`` per cube) switches
+    to the lean segment layout that additionally drops the state's
+    ``clean``/``resid`` cubes during the solves — REQUIRED at full MUSE
+    field (the standing state otherwise OOMs the PCG; see
+    ``_lean_run_sweeps_host``).  Lean mode CONSUMES the passed-in state.
     """
     from .. import sampler as sm
 
     p = problem
     cfg = p.config
+    if n_sweeps <= 0:
+        return sm.ChainResult(
+            state=state,
+            chi2_trace=jnp.zeros((0,), jnp.float32),
+            accept_trace=jnp.zeros((0,), jnp.float32),
+            flux_trace=jnp.zeros((0,), jnp.float32),
+            monitor_trace=jnp.zeros((0, int(p.monitor_idx.shape[0])),
+                                    cfg.dtype),
+        )
     mode = _resolve_precond_mode(p, None)
     tau = _tau(p)
     pstate = jax.jit(
         lambda pp: _precond_state(pp, mode, tau)
     )(p)
+    if lean is None:
+        lean = (
+            p.L * p.Y * p.X * np.dtype(cfg.dtype).itemsize
+            > DIRECT_LEAN_BYTES
+        )
+    if lean:
+        return _lean_run_sweeps_host(problem, state, n_sweeps, mode, pstate)
     burn = cfg.resolved_burn_in()
     sweep0 = int(state.sweep)
     st = state

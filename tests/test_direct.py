@@ -587,3 +587,84 @@ def test_masked_spaxels_frozen_and_ignored(rng):
         np.asarray(r1.state.clean), np.asarray(r2.state.clean)
     )
     assert float(r1.state.chi2) == float(r2.state.chi2)
+
+
+class TestLeanHostLoop:
+    """LEAN full-field segment layout (``direct_run_sweeps_host(lean=True)``).
+
+    At 300×300×3681 the PCG needs every byte of HBM (constants 2.8 +
+    carries 3.8 + step temps 4.6 GB measured on-chip 2026-08-18) — the
+    standing state's clean/resid (2.7 GB) OOM'd the product path.  Lean
+    mode consumes them and carries only sum_clean between draws; these
+    tests pin its equality to the jitted scan on CI sizes.
+    """
+
+    def test_lean_matches_scan(self, rng):
+        p, *_ = _problem(rng, n=6, direct_tol=1e-9, direct_maxiter=400)
+        res_scan = dr.direct_run_sweeps(p, sm.init_state(p), 4)
+        res_lean = dr.direct_run_sweeps_host(
+            p, sm.init_state(p), 4, lean=True
+        )
+        for attr in ("clean", "resid", "sum_clean"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(res_lean.state, attr)),
+                np.asarray(getattr(res_scan.state, attr)),
+                rtol=1e-6, atol=1e-9,
+            )
+        np.testing.assert_allclose(
+            np.asarray(res_lean.chi2_trace),
+            np.asarray(res_scan.chi2_trace), rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_lean.accept_trace),
+            np.asarray(res_scan.accept_trace),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_lean.flux_trace),
+            np.asarray(res_scan.flux_trace), rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_lean.monitor_trace),
+            np.asarray(res_scan.monitor_trace), rtol=1e-6, atol=1e-12,
+        )
+        assert int(res_lean.state.sweep) == 4
+        assert float(res_lean.state.chi2) == pytest.approx(
+            float(res_scan.state.chi2), rel=1e-6
+        )
+        assert float(res_lean.state.n_accept) == pytest.approx(
+            float(res_scan.state.n_accept)
+        )
+        assert float(res_lean.state.n_kept) == float(res_scan.state.n_kept)
+
+    def test_lean_consumes_incoming_state_and_chains_segments(self, rng):
+        """Segmented lean runs thread state exactly like one long segment;
+        the incoming segment state is consumed (documented donation)."""
+        p, *_ = _problem(rng, n=6, direct_tol=1e-9, direct_maxiter=400)
+        res_one = dr.direct_run_sweeps_host(
+            p, sm.init_state(p), 4, lean=True
+        )
+        st = sm.init_state(p)
+        res_a = dr.direct_run_sweeps_host(p, st, 2, lean=True)
+        assert st.clean.is_deleted() and st.resid.is_deleted()
+        res_b = dr.direct_run_sweeps_host(p, res_a.state, 2, lean=True)
+        np.testing.assert_allclose(
+            np.asarray(res_b.state.clean), np.asarray(res_one.state.clean),
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_b.state.sum_clean),
+            np.asarray(res_one.state.sum_clean), rtol=1e-6, atol=1e-9,
+        )
+        assert int(res_b.state.sweep) == 4
+
+    def test_lean_tracks_variance(self, rng):
+        p, *_ = _problem(rng, n=6, track_variance=True,
+                         direct_tol=1e-9, direct_maxiter=400)
+        res_scan = dr.direct_run_sweeps(p, sm.init_state(p), 3)
+        res_lean = dr.direct_run_sweeps_host(
+            p, sm.init_state(p), 3, lean=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_lean.state.sum_sq),
+            np.asarray(res_scan.state.sum_sq), rtol=1e-6, atol=1e-12,
+        )
