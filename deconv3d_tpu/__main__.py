@@ -58,6 +58,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                    help="Gaussian ridge prior precision tau (1/flux^2), "
                         "sampler='direct' only; bounds the blur-null modes "
                         "so PCG converges under heavy blur")
+    p.add_argument("--direct-radial-bins", type=int, default=256,
+                   help="|k|-bin count of the radially-binned Fourier "
+                        "preconditioner (full-field direct/MAP solves); "
+                        "256 is the measured optimum — fine bins amplify "
+                        "boundary-model mismatch and can stall CG")
 
 
 def _build_instrument(args):
@@ -87,6 +92,7 @@ def cmd_run(args) -> int:
         track_variance=not args.no_variance,
         coarse_every=args.coarse_every, coarse_mode=args.coarse_mode,
         prior_precision=args.prior_precision,
+        direct_radial_bins=args.direct_radial_bins,
         checkpoint_path=args.checkpoint, metrics_path=args.metrics,
     )
     run.run()
@@ -102,6 +108,7 @@ def cmd_map(args) -> int:
     run = Run(
         args.cube, _build_instrument(args), max_iterations=1,
         direct_tol=args.tol, direct_maxiter=args.maxiter,
+        direct_radial_bins=args.direct_radial_bins,
     )
     run.map_estimate(prior_precision=args.prior_precision).to_fits(args.out)
     res = run.last_map_result
@@ -152,6 +159,7 @@ def main(argv=None) -> int:
         "convergence under heavy blur (flat-prior operator near-singular)",
     )
     for flag, kw in (
+        ("--direct-radial-bins", dict(type=int, default=256)),
         ("--fsf", dict(choices=["moffat", "gaussian"], default="moffat")),
         ("--fsf-fwhm", dict(type=float, default=0.66)),
         ("--fsf-beta", dict(type=float, default=2.6)),

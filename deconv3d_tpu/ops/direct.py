@@ -179,12 +179,18 @@ def _resolve_precond_mode(problem, mode: str | None = None) -> str:
             logging.getLogger("deconv3d_tpu").info(
                 "dense banded preconditioner would need %.1f GB — using "
                 "the radially-binned variant (%d bins)",
-                dense_bytes / 2**30, N_RADIAL_BINS,
+                dense_bytes / 2**30, _radial_bins(p),
             )
             mode = "banded_radial"
     if mode not in ("banded", "banded_radial", "jacobi"):
         raise ValueError(f"unknown direct_precond {mode!r}")
     return mode
+
+
+def _radial_bins(problem) -> int:
+    """Resolved |k|-bin count of the radial preconditioner (config knob)."""
+    return int(getattr(problem.config, "direct_radial_bins", None)
+               or N_RADIAL_BINS)
 
 
 def _precond_state(problem, mode: str, tau: float):
@@ -205,7 +211,7 @@ def _precond_state(problem, mode: str, tau: float):
         diag = banded.precision_diag(p.lsf, quad_like) + tau
         return jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
     if mode == "banded_radial":
-        return _radial_state(p, tau)
+        return _radial_state(p, tau, n_bins=_radial_bins(p))
     Y, X = p.Y, p.X
     dtype = p.config.dtype
     wbar = jnp.sum(w) / jnp.maximum(jnp.sum(w > 0), 1.0)
@@ -227,7 +233,7 @@ def _precond_apply(problem, mode: str, state, r):
     if mode == "jacobi":
         return r * state * free
     if mode == "banded_radial":
-        return _radial_apply(p, state, r)
+        return _radial_apply(p, state, r, n_bins=_radial_bins(p))
     R = state
     Y, X = p.Y, p.X
     dtype = p.config.dtype
@@ -505,8 +511,12 @@ def _host_pcg_programs(problem, mode: str, tau: float):
     18.2 GB total at full MUSE field (300×300×3681: 11.5 cube-size temps
     + arguments + output — memory_analysis, 2026-08-18) and OOMs the
     chip's ~15 GiB usable HBM; this layout fits with headroom.  The cost
-    is one host sync per iteration (~ms against ~1 s/iteration of
-    full-field compute).
+    is one host sync per iteration — measured to be FREE through the
+    tunnel's pipelining: a masked 8-iteration-per-dispatch chunk variant
+    (lax.fori_loop body identical to ``pcg``) timed 65.3/57.9 s per
+    full-field draw vs 61.0 s for this loop (same 75 iterations, same
+    seed — within the ±7% run-to-run noise), so it was removed
+    (2026-08-18; do not re-derive).
     """
     from ..parallel.cache import evict_dead
 

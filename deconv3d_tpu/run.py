@@ -72,6 +72,7 @@ class Run:
         direct_tol: float = 1e-6,
         direct_maxiter: int = 500,
         direct_precond: str = "banded",
+        direct_radial_bins: int = 256,
         prior_precision: float = 0.0,
     ):
         if isinstance(cube, str):
@@ -181,6 +182,7 @@ class Run:
             direct_tol=direct_tol,
             direct_maxiter=direct_maxiter,
             direct_precond=direct_precond,
+            direct_radial_bins=direct_radial_bins,
             prior_precision=prior_precision,
         )
         self.problem = sm.make_problem(cube, self.instrument, self.config)

@@ -137,6 +137,16 @@ class RunConfig:
     # convergence flag rides the accept trace either way.
     direct_maxiter: int = 500
     direct_precond: str = "banded"
+    # |k|-bin count of the radially-binned preconditioner (the auto-switch
+    # target above ops/direct.BANDED_BYTES_BUDGET).  NOT monotonic — 256
+    # is the measured full-field optimum (2026-08-18, ridge τ=1e-3 MUSE
+    # 300×300×3681): 64 bins = same 75 iterations but 2× slower solves
+    # (worse [B, M, L] batching); 1024 bins STALL (rel 0.145 at 600 — fine
+    # bins faithfully invert the near-null high-|k| modes exactly where
+    # the periodic-model mismatch from masks/boundaries is largest, while
+    # coarse bin-means regularise them).  Exposed for tuning on other
+    # FSF shapes, not for "more is better".
+    direct_radial_bins: int = 256
     # Optional Gaussian ridge prior  c ~ N(0, prior_precision⁻¹ I)  on the
     # free voxels, for sampler='direct' and MAP solves only (the MCMC
     # engines keep the reference's flat prior).  Under heavy blur the
