@@ -284,3 +284,35 @@ def test_checkpoint_resume_bit_exact_spatial_mesh(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(full.states.resid), np.asarray(second.states.resid)
     )
+
+
+def test_direct_lean_facade_checkpoint_resume(tmp_path, rng, monkeypatch):
+    """Run(sampler='direct') through the LEAN segment layout (forced via a
+    tiny threshold, as at full field): segmented + checkpoint/resume runs
+    must land exactly on the uninterrupted run — the lean layout consumes
+    incoming states, which is precisely what facade segmenting exercises."""
+    import deconv3d_tpu.ops.direct as dmod
+
+    monkeypatch.setattr(dmod, "PCG_WHILE_BYTES_BUDGET", 1)
+    monkeypatch.setattr(dmod, "DIRECT_LEAN_BYTES", 1)
+    cube, inst, _ = _make_toy(rng)
+    kw = dict(max_iterations=8, burn_in=0, seed=4, fsf_size=5,
+              lsf_width=5, dtype=np.float64, sampler="direct",
+              direct_tol=1e-9, direct_maxiter=400)
+    path = str(tmp_path / "ck.npz")
+
+    full = Run(cube, inst, **kw).run(8)
+
+    first = Run(cube, inst, checkpoint_path=path, **kw)
+    first.run(4)
+    second = Run(cube, inst, checkpoint_path=path, **kw).resume()
+    assert second.sweeps_done == 4
+    second.run(4)
+    np.testing.assert_allclose(
+        np.asarray(full.states.clean), np.asarray(second.states.clean),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.states.sum_clean),
+        np.asarray(second.states.sum_clean), rtol=1e-9, atol=1e-12,
+    )
