@@ -263,6 +263,48 @@ def _run_chains_once(problem, n_chains, n_sweeps, mesh, states, axis_name):
             )
         )
 
+    if problem.config.sampler == "direct" and not isinstance(
+        states.key, jax.core.Tracer
+    ):
+        from .ops.direct import (
+            PCG_WHILE_BYTES_BUDGET, _pcg_while_bytes,
+            direct_run_sweeps_host,
+        )
+
+        if _pcg_while_bytes(problem) > PCG_WHILE_BYTES_BUDGET:
+            # Full-field direct draws: the monolithic jitted PCG program
+            # OOMs one chip (sampler.run_sweeps documents the measurement);
+            # vmapping it over chains would multiply that.  Chains of iid
+            # draws are pure throughput (every draw is already a full ESS
+            # unit, R̂ is trivially 1), so at this scale one chain through
+            # the host-loop/lean layout is the product path.
+            if n_chains > 1:
+                raise ValueError(
+                    "n_chains > 1 with sampler='direct' at full-field "
+                    "scale: each chain would hold cube-size accumulators "
+                    "(~4 GB) the PCG's HBM budget does not have — and "
+                    "direct draws are iid (every draw is one full ESS "
+                    "unit; R-hat across chains is trivially 1), so chains "
+                    "add nothing a longer single run doesn't. Use "
+                    "n_chains=1 with more max_iterations, or "
+                    "spatial_mesh=... for multi-chip draws."
+                )
+            single = jax.tree_util.tree_map(lambda x: x[0], states)
+            # consume the stacked originals: the jnp engine DONATES these
+            # same states at this scale (_batched_run_donated), and the
+            # lean layout needs the HBM they pin during the solves
+            from .ops.direct import _maybe_delete
+
+            for leaf in jax.tree_util.tree_leaves(states):
+                _maybe_delete(leaf)
+            del states
+            res = direct_run_sweeps_host(problem, single, n_sweeps)
+            return MultiChainResult(
+                result=jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x)[None], res
+                )
+            )
+
     if mesh is None and len(jax.devices()) > 1:
         ndev = len(jax.devices())
         if n_chains % ndev == 0:

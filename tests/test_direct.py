@@ -668,3 +668,62 @@ class TestLeanHostLoop:
             np.asarray(res_lean.state.sum_sq),
             np.asarray(res_scan.state.sum_sq), rtol=1e-6, atol=1e-12,
         )
+
+
+class TestFullFieldChainsRouting:
+    """chains.run_chains at full-field scale (budget-forced): must route
+    sampler='direct' through the host-loop/lean layout instead of vmapping
+    the monolithic jitted PCG (which measured 18.2 GB on-chip), and must
+    reject multi-chain runs there with actionable guidance."""
+
+    def test_single_chain_routes_to_host_loop(self, rng, monkeypatch):
+        import deconv3d_tpu.ops.direct as dmod
+
+        p, *_ = _problem(rng, n=6, direct_tol=1e-9, direct_maxiter=400)
+        ref = dr.direct_run_sweeps_host(
+            p,
+            jax.tree_util.tree_map(
+                lambda x: x[0], ch.init_chain_states(p, 1)
+            ),
+            3,
+        )
+        monkeypatch.setattr(dmod, "PCG_WHILE_BYTES_BUDGET", 1)
+        states = ch.init_chain_states(p, 1)
+        mc = ch.run_chains(p, 1, n_sweeps=3, states=states)
+        assert mc.result.state.clean.shape[0] == 1
+        np.testing.assert_allclose(
+            np.asarray(mc.result.state.clean[0]),
+            np.asarray(ref.state.clean), rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mc.result.chi2_trace[0]),
+            np.asarray(ref.chi2_trace), rtol=1e-6,
+        )
+        # the stacked originals are consumed (documented full-field
+        # donation contract — same as the jnp engine's donated path)
+        assert states.clean.is_deleted()
+
+    def test_multi_chain_rejected_at_scale(self, rng, monkeypatch):
+        import deconv3d_tpu.ops.direct as dmod
+
+        p, *_ = _problem(rng, n=6)
+        monkeypatch.setattr(dmod, "PCG_WHILE_BYTES_BUDGET", 1)
+        with pytest.raises(ValueError, match="iid"):
+            ch.run_chains(p, 2, n_sweeps=2)
+
+    def test_facade_full_field_direct(self, rng, monkeypatch):
+        """Run(sampler='direct') with the budget forced tiny: the facade
+        must complete segments + save traces through the lean routing."""
+        import deconv3d_tpu.ops.direct as dmod
+        from deconv3d_tpu import Run
+
+        monkeypatch.setattr(dmod, "PCG_WHILE_BYTES_BUDGET", 1)
+        monkeypatch.setattr(dmod, "DIRECT_LEAN_BYTES", 1)
+        cube, inst, _ = _make_toy(rng)
+        run = Run(cube, inst, max_iterations=4, burn_in=0, seed=2,
+                  fsf_size=5, lsf_width=5, dtype=np.float64,
+                  sampler="direct", direct_tol=1e-8, direct_maxiter=400)
+        run.run()
+        assert run.sweeps_done == 4
+        assert np.isfinite(float(np.asarray(run.states.chi2)))
+        assert run.acceptance_rate == 1.0
