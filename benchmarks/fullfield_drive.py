@@ -118,9 +118,17 @@ def main():
     ap.add_argument("--coarse-every", type=int, default=0,
                     help="interleave a global coarse pattern pass every N "
                     "sweeps (ops/coarse.py mode='global')")
+    ap.add_argument("--spatial-shards", type=int, default=0,
+                    help="run the sweep through the kernel-rate band "
+                    "decomposition (parallel/kernel_sharded.py) on a mesh "
+                    "of this many devices; 1 = single-device band layout "
+                    "(measures the band structure's dclean-streaming "
+                    "amortisation at full field)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     tag = "_coarse" if args.coarse_every else ""
+    if args.spatial_shards:
+        tag += f"_sh{args.spatial_shards}"
     out_path = args.out or (
         f"FULLFIELD_r03{tag}.json" if args.sampler == "mh"
         else f"FULLFIELD_r03_{args.sampler}{tag}.json"
@@ -151,6 +159,23 @@ def main():
         flush=True,
     )
 
+    if args.spatial_shards:
+        from jax.sharding import Mesh
+        from deconv3d_tpu.parallel.kernel_sharded import (
+            run_sweeps_kernel_sharded,
+        )
+
+        mesh = Mesh(
+            np.asarray(jax.devices()[: args.spatial_shards]), ("sp",)
+        )
+
+        def _sweeps(st, n):
+            return run_sweeps_kernel_sharded(problem, st, n, mesh)
+    else:
+
+        def _sweeps(st, n):
+            return sm.run_sweeps(problem, st, n)
+
     t0 = time.time()
     state = sm.init_state(problem)
     jax.block_until_ready(state.resid)
@@ -169,7 +194,7 @@ def main():
 
         cap = _max_segment(problem)
     t0 = time.time()
-    res = sm.run_sweeps(problem, state, cap)
+    res = _sweeps(state, cap)
     del state
     jax.block_until_ready(res.state.clean)
     print(f"warmup ({cap} sweeps, incl. compile) {time.time()-t0:.0f}s",
@@ -180,7 +205,7 @@ def main():
     t0 = time.time()
     done = cap
     while done < args.burn:
-        res = sm.run_sweeps(problem, res.state, cap)
+        res = _sweeps(res.state, cap)
         jax.block_until_ready(res.state.chi2)
         done += cap
         if done % (20 * cap) < cap:
@@ -195,7 +220,7 @@ def main():
     t0 = time.time()
     done_t = 0
     while done_t < n_timed:
-        res = sm.run_sweeps(problem, res.state, cap)
+        res = _sweeps(res.state, cap)
         jax.block_until_ready(res.state.chi2)
         done_t += cap
         acc_trace.append(np.asarray(res.accept_trace))
@@ -271,6 +296,7 @@ def main():
         / max(float(st.n_propose), 1.0),
         "point_source_recovery": recovery,
         "engine": problem.config.engine,
+        "spatial_shards": args.spatial_shards,
         "tile": list(problem.config.tile or ()),
         "footprint": problem.f,
     }

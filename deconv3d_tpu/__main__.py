@@ -63,6 +63,13 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                         "preconditioner (full-field direct/MAP solves); "
                         "256 is the measured optimum — fine bins amplify "
                         "boundary-model mismatch and can stall CG")
+    p.add_argument("--until-rhat", type=float, default=None,
+                   help="run until split-R-hat of chi2 AND every monitor "
+                        "voxel is below this (needs --chains >= 2); "
+                        "--iterations becomes the sweep budget")
+    p.add_argument("--min-ess", type=float, default=None,
+                   help="run until the chi2 effective sample size reaches "
+                        "this (alone or combined with --until-rhat)")
 
 
 def _build_instrument(args):
@@ -95,9 +102,19 @@ def cmd_run(args) -> int:
         direct_radial_bins=args.direct_radial_bins,
         checkpoint_path=args.checkpoint, metrics_path=args.metrics,
     )
-    run.run()
+    if args.until_rhat is not None or args.min_ess is not None:
+        until = run.run_until(
+            rhat=args.until_rhat, min_ess=args.min_ess,
+            max_sweeps=args.iterations,
+        )
+    else:
+        until = None
+        run.run()
     run.save(args.out, plots=args.plots)
-    print(json.dumps(run.diagnostics(), indent=2, default=float))
+    out = run.diagnostics()
+    if until is not None:
+        out["run_until"] = until
+    print(json.dumps(out, indent=2, default=float))
     return 0
 
 

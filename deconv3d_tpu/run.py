@@ -325,6 +325,116 @@ class Run:
             )
         return self
 
+    def run_until(
+        self,
+        rhat: Optional[float] = 1.01,
+        min_ess: Optional[float] = None,
+        check_every: Optional[int] = None,
+        max_sweeps: Optional[int] = None,
+    ) -> dict:
+        """Run until the C9 convergence diagnostics meet their targets.
+
+        Closes the loop the reference leaves open (reference: deconv3d runs
+        a fixed ``max_iterations`` and reports diagnostics afterwards;
+        SURVEY.md §1.1 C9): instead of guessing a sweep count, sample in
+        segments and stop when every given criterion holds:
+
+          * ``rhat`` — split-R̂ of the chi² trace AND of every monitor voxel
+            ≤ this value (needs ``n_chains >= 2``).
+          * ``min_ess`` — pooled effective sample size of the chi² trace
+            ≥ this value (works for any chain count).
+
+        ``check_every`` sweeps run between diagnostic checks (default: a
+        heuristic segment ≤256); the first segment always covers burn-in
+        plus one check window, since pre-burn-in samples carry no
+        diagnostic signal.  ``max_sweeps`` (default ``max_iterations``)
+        bounds the total; hitting it returns ``converged=False`` with a
+        warning rather than raising — the state/traces stay usable.
+
+        Returns the final diagnostics dict (``converged``, ``sweeps``,
+        ``ess_chi2``, and ``rhat_max`` when multi-chain).
+        """
+        if self.n_chains < 2:
+            if min_ess is None:
+                raise ValueError(
+                    "run_until with a single chain has no R̂ signal — pass "
+                    "min_ess=... (or run n_chains >= 2 for R̂-based stopping)"
+                )
+            rhat = None
+        if rhat is None and min_ess is None:
+            raise ValueError("run_until needs at least one criterion")
+        burn = self.config.resolved_burn_in()
+        max_sweeps = max_sweeps or self.config.max_iterations
+        check_every = check_every or max(32, min(256, max_sweeps // 8))
+        # first segment: through burn-in plus one full check window, so the
+        # first diagnostic check sees only post-burn-in samples
+        first = max(check_every, burn - self.sweeps_done + check_every)
+        self.run(min(first, max(max_sweeps - self.sweeps_done, 1)))
+        while True:
+            d = self._convergence_criteria(burn)
+            ok = True
+            if rhat is not None:
+                ok = ok and d["rhat_max"] <= rhat
+            if min_ess is not None:
+                ok = ok and d["ess_chi2"] >= min_ess
+            d["converged"] = bool(ok)
+            if ok:
+                logger.info(
+                    "run_until converged at sweep %d: %s", d["sweeps"], d
+                )
+                return d
+            remaining = max_sweeps - self.sweeps_done
+            if remaining <= 0:
+                logger.warning(
+                    "run_until hit max_sweeps=%d without converging: %s — "
+                    "raise max_sweeps or loosen the criteria; if the FSF "
+                    "blur is heavy, sampler='gibbs_block' and/or "
+                    "coarse_every=8 attack exactly the slow-mixing modes "
+                    "(docs/design.md §4c/§8c)",
+                    max_sweeps, d,
+                )
+                return d
+            self.run(min(check_every, remaining))
+
+    def _convergence_criteria(self, burn: int) -> dict:
+        """R̂/ESS over the diagnostic window, tolerant of single chains.
+
+        The window is the LAST HALF of the trace (never earlier than
+        burn-in) — the Stan convention.  A fixed burn-in underestimates
+        the chi² transient on hard (high-SNR, heavy-blur) problems, and a
+        window that still contains the descent reads as divergence (R̂ of
+        the transient) no matter how well the equilibrated chains mix; the
+        moving half-window makes the stopping rule self-correcting.
+        """
+        chi2_t = self.trace("chi2")                     # [n_chains, n]
+        n = chi2_t.shape[1]
+        start = int(np.clip(max(burn, n // 2), 0, max(n - 2, 0)))
+        seg = chi2_t[:, start:]
+        out = {
+            "sweeps": self.sweeps_done,
+            "window": [start, n],
+            "ess_chi2": float(ch.effective_sample_size(seg)),
+        }
+        if self.n_chains >= 2:
+            rhat_chi2 = ch.gelman_rubin(seg)
+            mon = self.trace("monitor")[:, start:, :]
+            rhat_mon = [
+                ch.gelman_rubin(mon[:, :, k]) for k in range(mon.shape[-1])
+            ]
+            finite = [
+                r for r in [rhat_chi2, *rhat_mon] if np.isfinite(r)
+            ]
+            # all-NaN R̂ means zero-variance traces (chains literally agree
+            # everywhere — a degenerate/noiseless run): converged by any
+            # reading, so report the ideal value instead of NaN-poisoning
+            # the criterion.
+            out["rhat_chi2"] = float(rhat_chi2)
+            out["rhat_monitor_max"] = (
+                float(np.nanmax(rhat_mon)) if mon.shape[-1] else 1.0
+            )
+            out["rhat_max"] = float(np.max(finite)) if finite else 1.0
+        return out
+
     def resume(self, path: Optional[str] = None) -> "Run":
         """Load a checkpoint written by this configuration (bit-exact)."""
         path = path or self.checkpoint_path
@@ -526,6 +636,7 @@ class Run:
             json.dump(self.diagnostics(), fh, indent=2, default=float)
         if plots:
             self.plot_chi2(f"{name}_chi2.png")
+            self.plot_chain(f"{name}_chain.png")
             self.plot_images(f"{name}_images.png")
 
     def plot_chi2(self, path: str) -> None:
@@ -541,6 +652,44 @@ class Run:
         ax.set_ylabel("chi²")
         ax.set_yscale("log")
         ax.legend(loc="upper right", fontsize=7)
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+
+    def plot_chain(self, path: str) -> None:
+        """Trace plot of the sampled chain (reference parity: the chain
+        plot of deconv3d's plotting helpers, SURVEY.md §2 "Sampler (Run)"):
+        total flux, acceptance rate, and the monitor-voxel traces per
+        chain — burn-in marked, one row per quantity."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        flux = self.trace("flux")                   # [C, n]
+        accept = self.trace("accept")               # [C, n]
+        mon = self.trace("monitor")                 # [C, n, k]
+        burn = self.config.resolved_burn_in()
+        fig, axes = plt.subplots(
+            3, 1, figsize=(8, 8), sharex=True,
+            gridspec_kw={"height_ratios": [2, 1, 2]},
+        )
+        for c in range(flux.shape[0]):
+            label = f"chain {c}" if c < 8 else None
+            axes[0].plot(flux[c], lw=0.8, label=label)
+            axes[1].plot(accept[c], lw=0.8)
+        for k in range(mon.shape[-1]):
+            for c in range(mon.shape[0]):
+                axes[2].plot(mon[c, :, k], lw=0.6, alpha=0.8)
+        axes[0].set_ylabel("total flux")
+        axes[1].set_ylabel("acceptance")
+        axes[1].set_ylim(0, 1)
+        axes[2].set_ylabel("monitor voxels")
+        axes[2].set_xlabel("sweep")
+        for ax in axes:
+            if 0 < burn < flux.shape[1]:
+                ax.axvline(burn, color="k", ls="--", lw=0.8, alpha=0.5)
+        axes[0].legend(loc="upper right", fontsize=7)
         fig.tight_layout()
         fig.savefig(path, dpi=110)
         plt.close(fig)

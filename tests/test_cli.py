@@ -43,6 +43,23 @@ def test_cli_run(tmp_path, rng, capsys):
         assert os.path.exists(out_prefix + suffix)
 
 
+def test_cli_run_until(tmp_path, rng, capsys):
+    path = _write_cube(tmp_path, rng)
+    out_prefix = str(tmp_path / "res_until")
+    rc = main([
+        "run", "--cube", path, "--out", out_prefix,
+        "--iterations", "400", "--burn-in", "20", "--chains", "2",
+        "--fsf", "gaussian", "--fsf-fwhm", "0.5",
+        "--lsf", "gaussian", "--lsf-fwhm", "2.0", "--sampler", "gibbs",
+        "--until-rhat", "1.3", "--min-ess", "10",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert "run_until" in stats
+    assert stats["run_until"]["sweeps"] <= 400
+    assert stats["run_until"]["ess_chi2"] > 0
+
+
 def test_cli_map(tmp_path, rng, capsys):
     path = _write_cube(tmp_path, rng)
     out_fits = str(tmp_path / "map.fits")

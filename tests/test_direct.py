@@ -725,5 +725,5 @@ class TestFullFieldChainsRouting:
                   sampler="direct", direct_tol=1e-8, direct_maxiter=400)
         run.run()
         assert run.sweeps_done == 4
-        assert np.isfinite(float(np.asarray(run.states.chi2)))
+        assert np.all(np.isfinite(np.asarray(run.states.chi2)))
         assert run.acceptance_rate == 1.0

@@ -69,7 +69,8 @@ def test_run_save_products(tmp_path, toy_run):
     base = str(tmp_path / "out")
     run.save(base, plots=True)
     for suffix in ("_clean.fits", "_std.fits", "_convolved.fits",
-                   "_traces.npz", "_stats.json", "_chi2.png", "_images.png"):
+                   "_traces.npz", "_stats.json", "_chi2.png", "_chain.png",
+                   "_images.png"):
         assert os.path.exists(base + suffix), f"missing {suffix}"
     back = Cube.from_fits(base + "_clean.fits")
     assert back.shape == run.cube.shape
@@ -134,6 +135,39 @@ def test_run_multichain_diagnostics(rng):
     assert d["n_chains"] == 4
     assert "rhat_chi2" in d and np.isfinite(d["rhat_chi2"])
     assert run.trace("chi2").shape == (4, 200)
+
+
+def test_run_until_rhat_converges(rng):
+    """run_until stops early once R̂/ESS targets hold (C9 closed-loop)."""
+    cube, inst, _ = _make_toy(rng, L=8, fsf_fwhm=0.25, lsf_fwhm=1.0)
+    run = Run(cube, inst, max_iterations=2000, burn_in=30, seed=2,
+              n_chains=4, sampler="gibbs", fsf_size=5, lsf_width=5,
+              dtype=np.float64)
+    d = run.run_until(rhat=1.2, min_ess=20, check_every=50)
+    assert d["converged"]
+    assert d["rhat_max"] <= 1.2
+    assert d["ess_chi2"] >= 20
+    assert run.sweeps_done == d["sweeps"] < 2000
+
+
+def test_run_until_caps_at_max_sweeps(rng):
+    cube, inst, _ = _make_toy(rng)
+    run = Run(cube, inst, max_iterations=10_000, burn_in=10, seed=7,
+              n_chains=2, fsf_size=5, lsf_width=5, dtype=np.float64)
+    d = run.run_until(min_ess=1e9, rhat=None, check_every=20, max_sweeps=60)
+    assert not d["converged"]
+    assert run.sweeps_done == 60
+
+
+def test_run_until_single_chain_needs_ess(rng):
+    cube, inst, _ = _make_toy(rng)
+    run = Run(cube, inst, max_iterations=100, burn_in=10, seed=1,
+              fsf_size=5, lsf_width=5, dtype=np.float64)
+    with pytest.raises(ValueError):
+        run.run_until()  # single chain, no min_ess
+    d = run.run_until(min_ess=5, check_every=30, max_sweeps=600)
+    assert "rhat_max" not in d
+    assert d["converged"] or run.sweeps_done == 600
 
 
 def test_run_metrics_jsonl(tmp_path, rng):
