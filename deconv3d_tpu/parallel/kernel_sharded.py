@@ -102,6 +102,74 @@ def _cached_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None):
     return _PROGRAM_CACHE[pkey][1], consts, Wpa_g
 
 
+def _to_window_impl(resid, f, ndev, Wpa_g, Lp):
+    """[L, Hp, Wp] cube -> halo-replicated window layout [ndev·Hpl, Wpa, Lp].
+
+    One fused program: materializing overlap_shard's output separately costs
+    a second cube-size transient, which is what OOMed the 1-shard full-field
+    drive (state + consts + two ~1.4 GB layout copies queued by the lazy
+    dispatch backend).
+    """
+    return pt._cube_to_window_layout(
+        overlap_shard(resid.astype(jnp.float32), f, ndev), Wpa_g, Lp
+    )
+
+
+_to_window = jax.jit(_to_window_impl, static_argnums=(1, 2, 3, 4))
+#: huge fields: consume the incoming residual (the state-consumed-on-big
+#: convention of the tiled/jnp engines, ops/pallas_tiled.py `_prep_carry`)
+_to_window_donated = jax.jit(
+    _to_window_impl, static_argnums=(1, 2, 3, 4), donate_argnums=(0,)
+)
+
+#: cube-size threshold above which segment boundaries consume their inputs
+_BIG_BYTES = 2**28
+
+
+def _from_window_impl(resid_w, f, ndev, Wp, L, dtype):
+    """Inverse: window layout back to the standard [L, Hp, Wp] residual."""
+    return overlap_unshard(
+        jnp.moveaxis(resid_w[:, :Wp, :L], -1, 0), f, ndev
+    ).astype(dtype)
+
+
+_from_window = jax.jit(
+    _from_window_impl, static_argnums=(1, 2, 3, 4, 5)
+)
+_from_window_donated = jax.jit(
+    _from_window_impl, static_argnums=(1, 2, 3, 4, 5), donate_argnums=(0,)
+)
+
+
+def _to_window_chains_impl(resid, f, ndev, Wpa_g, Lp):
+    return jax.vmap(
+        lambda r: _to_window_impl(r, f, ndev, Wpa_g, Lp)
+    )(resid)
+
+
+_to_window_chains = jax.jit(
+    _to_window_chains_impl, static_argnums=(1, 2, 3, 4)
+)
+_to_window_chains_donated = jax.jit(
+    _to_window_chains_impl, static_argnums=(1, 2, 3, 4), donate_argnums=(0,)
+)
+
+
+def _from_window_chains_impl(resid_w, f, ndev, Wp, L, dtype):
+    return jax.vmap(
+        lambda r: _from_window_impl(r, f, ndev, Wp, L, dtype)
+    )(resid_w)
+
+
+_from_window_chains = jax.jit(
+    _from_window_chains_impl, static_argnums=(1, 2, 3, 4, 5)
+)
+_from_window_chains_donated = jax.jit(
+    _from_window_chains_impl, static_argnums=(1, 2, 3, 4, 5),
+    donate_argnums=(0,),
+)
+
+
 def _strided_cols(arr_rc, cx, nx, f):
     """arr[..., cx + j·f, :] for j < nx: slice + reshape (no gathers).
 
@@ -622,6 +690,13 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None,
             )
             return tuple(o[None] for o in outs)
 
+    # resid_w (arg 0) is always created by this module's own layout
+    # conversion — donating it lets XLA alias the sweep's in/out window
+    # buffers (~1.5 GB at full field).  On big problems the state cubes
+    # (clean, sum_clean, sum_sq) are consumed too, matching the
+    # state-consumed-on-big convention of the tiled/jnp engines.
+    cube_bytes = L * p.Yc * p.Xc * np.dtype(dtype).itemsize
+    donate = (0, 6, 8, 9) if cube_bytes > _BIG_BYTES else (0,)
     sharded = jax.jit(functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -653,7 +728,7 @@ def _build_program(p, mesh, axis_name, n_sweeps, interior, chain_axis=None,
             sp_s, sp_s, sp_s, sp_s,     # chi2, chi2c, acc, nprop
             _pc(None), _pc(None), _pc(None), _pc(None, None),
         ),
-    )(body))
+    )(body), donate_argnums=donate)
 
     return sharded
 
@@ -750,8 +825,18 @@ def _run_sweeps_kernel_inner(
     )
     (w_w0, quad_w0, qt_stacks, qv_stacks, validf) = consts
 
-    resid_ov = overlap_shard(state.resid.astype(jnp.float32), f, ndev)
-    resid_w0 = pt._cube_to_window_layout(resid_ov, Wpa_g, Lp)
+    big = state.resid.nbytes > _BIG_BYTES
+    to_w = _to_window_donated if big else _to_window
+    resid_w0 = to_w(state.resid, f, ndev, Wpa_g, Lp)
+    if big:
+        # Serialize the layout stage.  The cube↔window conversions cannot
+        # alias (different shapes — the donation only releases the input
+        # after execution), so on the lazy/tunneled backend an unblocked
+        # segment boundary queues THIS segment's conversion transients
+        # (~3 GB) on top of the previous segment's program + inverse
+        # conversion — which OOMed the full-field sharded drive even
+        # though one serialized segment fits with ~4 GB headroom.
+        jax.block_until_ready(resid_w0)
 
     idx_sw = state.sweep + jnp.arange(n_sweeps, dtype=jnp.int32)
     adapt = sm.adapt_schedule(idx_sw, cfg)
@@ -768,9 +853,20 @@ def _run_sweeps_kernel_inner(
         state.sweep,
     )
 
-    # window layout -> overlap cube layout -> global residual
-    resid_ov_out = jnp.moveaxis(resid_w_out[:, : p.Wp, :L], -1, 0)
-    new_resid = overlap_unshard(resid_ov_out, f, ndev).astype(dtype)
+    # window layout -> overlap cube layout -> global residual (fused +
+    # donated: resid_w_out is internal, so its buffer is always reusable)
+    if big:
+        # drain the sweep program before queueing the inverse conversion:
+        # overlapping the program's band transients (~1.3 GB dcube) with
+        # the conversion's (~3 GB) is exactly the measured OOM margin
+        jax.block_until_ready(resid_w_out)
+    from_w = _from_window_donated if big else _from_window
+    new_resid = from_w(resid_w_out, f, ndev, p.Wp, L, dtype)
+    if big:
+        # other half of the stage serialization above: callers block on
+        # scalars (chi2), which the sharded program produces BEFORE this
+        # inverse conversion is even dispatched
+        jax.block_until_ready(new_resid)
     new_state = sm.SamplerState(
         clean=clean.astype(dtype),
         resid=new_resid,
@@ -880,11 +976,12 @@ def _run_chains_kernel_inner(
     )
     (w_w0, quad_w0, qt_stacks, qv_stacks, validf) = consts
 
-    resid_w0 = jax.vmap(
-        lambda r: pt._cube_to_window_layout(
-            overlap_shard(r.astype(jnp.float32), f, ndev), Wpa_g, Lp
-        )
-    )(states.resid)
+    big = states.resid.nbytes // max(states.resid.shape[0], 1) > _BIG_BYTES
+    to_w = _to_window_chains_donated if big else _to_window_chains
+    resid_w0 = to_w(states.resid, f, ndev, Wpa_g, Lp)
+    if big:
+        # stage serialization — see _run_sweeps_kernel_inner
+        jax.block_until_ready(resid_w0)
 
     # all chains advance in lock-step: one shared adapt/keep schedule
     sweep0 = states.sweep[0]
@@ -903,10 +1000,12 @@ def _run_chains_kernel_inner(
         states.chi2_comp, adapt, keep, sweep0,
     )
 
-    resid_ov_out = jnp.moveaxis(resid_w_out[:, :, : p.Wp, :L], -1, 1)
-    new_resid = jax.vmap(
-        lambda r: overlap_unshard(r, f, ndev)
-    )(resid_ov_out).astype(dtype)
+    if big:
+        jax.block_until_ready(resid_w_out)
+    from_w = _from_window_chains_donated if big else _from_window_chains
+    new_resid = from_w(resid_w_out, f, ndev, p.Wp, L, dtype)
+    if big:
+        jax.block_until_ready(new_resid)
     new_state = sm.SamplerState(
         clean=clean.astype(dtype),
         resid=new_resid,

@@ -222,6 +222,67 @@ def test_chains_compose_rejections(rng, monkeypatch):
         )
 
 
+def test_big_path_donated_boundaries_bit_exact(rng, monkeypatch):
+    """The huge-field segment boundary (donated layout conversions + stage
+    serialization, `_BIG_BYTES` exceeded) produces bit-identical draws to
+    the small-field path, including across a segment split (the consumed
+    input state must never be read back)."""
+    from deconv3d_tpu.parallel import kernel_sharded as ks
+
+    p = _problem(rng, monkeypatch=monkeypatch)
+    mesh = _mesh(2)
+    ref = run_sweeps_kernel_sharded(
+        p, sm.init_state(p), 8, mesh, interior="jnp"
+    )
+    # fresh program variants: donation is baked into the jitted program at
+    # build time, and the cache key does not (and need not) carry it
+    ks._PROGRAM_CACHE.clear()
+    monkeypatch.setattr(ks, "_BIG_BYTES", 0)
+    part = run_sweeps_kernel_sharded(
+        p, sm.init_state(p), 5, mesh, interior="jnp"
+    )
+    part2 = run_sweeps_kernel_sharded(p, part.state, 3, mesh,
+                                      interior="jnp")
+    np.testing.assert_array_equal(
+        np.asarray(ref.state.clean), np.asarray(part2.state.clean)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.state.resid), np.asarray(part2.state.resid)
+    )
+    assert float(ref.state.chi2) == float(part2.state.chi2)
+    monkeypatch.undo()
+    ks._PROGRAM_CACHE.clear()
+
+
+def test_big_path_donated_chains_bit_exact(rng, monkeypatch):
+    from deconv3d_tpu import chains as ch
+    from deconv3d_tpu.parallel import kernel_sharded as ks
+    from deconv3d_tpu.parallel.kernel_sharded import (
+        run_chains_kernel_sharded,
+    )
+
+    p = _problem(rng, monkeypatch=monkeypatch)
+    mesh2d = Mesh(
+        np.asarray(jax.devices()[:4]).reshape(2, 2), ("ch", "sp")
+    )
+    ref = run_chains_kernel_sharded(
+        p, 2, 6, mesh2d, states=ch.init_chain_states(p, 2), interior="jnp"
+    )
+    ks._PROGRAM_CACHE.clear()
+    monkeypatch.setattr(ks, "_BIG_BYTES", 0)
+    big = run_chains_kernel_sharded(
+        p, 2, 6, mesh2d, states=ch.init_chain_states(p, 2), interior="jnp"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.result.state.clean),
+        np.asarray(big.result.state.clean),
+    )
+    assert np.array_equal(np.asarray(ref.result.state.chi2),
+                          np.asarray(big.result.state.chi2))
+    monkeypatch.undo()
+    ks._PROGRAM_CACHE.clear()
+
+
 def _coarse_problem(rng, monkeypatch, every=3):
     return _problem(
         rng, monkeypatch=monkeypatch, coarse_every=every,
