@@ -49,7 +49,9 @@ def measure_draw(p, seed, label):
     dt = time.time() - t0
     out = {
         "label": label,
-        "seconds_per_draw": round(dt, 2),
+        # keep full precision: draws_per_sec divides by this, and a fast
+        # smoke-geometry draw rounds to 0.0 at 2 decimals
+        "seconds_per_draw": round(dt, 6),
         "iterations": int(res.iterations),
         "rel_residual": float(res.rel_residual),
         "converged": bool(float(res.rel_residual) <= p.config.direct_tol),
@@ -126,7 +128,9 @@ def main():
     results["draws"].append(measure_draw(p_flat, 3, "flat_prior"))
 
     ridge = next(d for d in results["draws"] if d["label"] == "ridge")
-    results["draws_per_sec"] = round(1.0 / ridge["seconds_per_draw"], 5)
+    results["draws_per_sec"] = round(
+        1.0 / max(ridge["seconds_per_draw"], 1e-9), 5
+    )
     results["note"] = (
         "one draw = one FULL unit of ESS (iid exact sampling); compare "
         "against MCMC ESS/s, not sweeps/s.  flat_prior records the "

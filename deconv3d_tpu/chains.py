@@ -271,7 +271,18 @@ def _run_chains_once(problem, n_chains, n_sweeps, mesh, states, axis_name):
             direct_run_sweeps_host,
         )
 
-        if _pcg_while_bytes(problem) > PCG_WHILE_BYTES_BUDGET:
+        # the PCG byte heuristic is PER-DEVICE: chains shard one-per-device
+        # over the mesh (or the implicit all-device mesh below), so the
+        # co-resident multiplicity is chains-per-device, not n_chains.
+        if mesh is not None and axis_name in getattr(mesh, "shape", {}):
+            n_shard_dev = mesh.shape[axis_name]
+        else:
+            ndev_vis = len(jax.devices())
+            n_shard_dev = (
+                ndev_vis if ndev_vis > 1 and n_chains % ndev_vis == 0 else 1
+            )
+        chains_per_dev = max(1, n_chains // max(n_shard_dev, 1))
+        if chains_per_dev * _pcg_while_bytes(problem) > PCG_WHILE_BYTES_BUDGET:
             # Full-field direct draws: the monolithic jitted PCG program
             # OOMs one chip (sampler.run_sweeps documents the measurement);
             # vmapping it over chains would multiply that.  Chains of iid

@@ -36,7 +36,7 @@ per-frequency λ-banded factors collapse onto ~256 radial bins
 equal-count quantile-binned and SORTED by bin (a static permutation), so
 every bin is a same-size [M, L] block solved by the ordinary batched
 banded solvers against ``R_bin[:, None]`` via broadcasting
-(_make_radial_preconditioner; a per-step-gather variant measured minutes
+(_radial_state/_radial_apply; a per-step-gather variant measured minutes
 per iteration and was rejected).  Within-bin power variation costs CG
 iterations, not correctness.  ``direct_precond='jacobi'`` remains the
 structure-free fallback.  Positivity is rejected (the truncated joint
@@ -189,8 +189,10 @@ def _resolve_precond_mode(problem, mode: str | None = None) -> str:
 
 def _radial_bins(problem) -> int:
     """Resolved |k|-bin count of the radial preconditioner (config knob)."""
-    return int(getattr(problem.config, "direct_radial_bins", None)
-               or N_RADIAL_BINS)
+    n = int(getattr(problem.config, "direct_radial_bins", N_RADIAL_BINS))
+    if n < 1:  # make_problem validates; guard hand-built configs too
+        raise ValueError(f"direct_radial_bins must be >= 1, got {n}")
+    return n
 
 
 def _precond_state(problem, mode: str, tau: float):
@@ -224,6 +226,15 @@ def _precond_state(problem, mode: str, tau: float):
     ridge = 1e-8 * jnp.max(bands[..., 0])
     bands = bands.at[..., 0].add(ridge + tau)
     return banded.cholesky_banded(bands)             # [Y, Xr, L, lw]
+
+
+#: module-level jitted state builder: segmented runs (Run.run with
+#: segments, run_until) rebuild pstate once per segment — a fresh
+#: jax.jit(lambda) there would retrace + re-execute the radial/banded
+#: factorisation program every segment instead of hitting this cache.
+_precond_state_jit = functools.partial(
+    jax.jit, static_argnums=(1, 2)
+)(_precond_state)
 
 
 def _precond_apply(problem, mode: str, state, r):
@@ -433,13 +444,6 @@ def _radial_apply(problem, R_bin, r, n_bins: int = N_RADIAL_BINS):
     return out_cube * free
 
 
-def _make_radial_preconditioner(problem, n_bins: int = N_RADIAL_BINS,
-                                prior_precision: float = 0.0):
-    """Closure form of the radial preconditioner (state + apply fused)."""
-    state = _radial_state(problem, prior_precision, n_bins)
-    return lambda r: _radial_apply(problem, state, r, n_bins)
-
-
 # ---------------------------------------------------------------------------
 # PCG (vmap-safe: masked updates after convergence)
 # ---------------------------------------------------------------------------
@@ -574,9 +578,7 @@ def pcg_host(problem, b, tol: float, maxiter: int,
     tau = _tau(p, prior_precision)
     init, step = _host_pcg_programs(p, mode, tau)
     if pstate is None:
-        pstate = jax.jit(
-            lambda pp: _precond_state(pp, mode, tau)
-        )(p)
+        pstate = _precond_state_jit(p, mode, tau)
     x, r, pvec, rz, bnorm = init(p, pstate, b)
     bfloor = max(float(bnorm), 1e-30)
     it = 0
@@ -1032,9 +1034,7 @@ def direct_run_sweeps_host(problem, state, n_sweeps: int, lean=None):
         )
     mode = _resolve_precond_mode(p, None)
     tau = _tau(p)
-    pstate = jax.jit(
-        lambda pp: _precond_state(pp, mode, tau)
-    )(p)
+    pstate = _precond_state_jit(p, mode, tau)
     if lean is None:
         lean = (
             p.L * p.Y * p.X * np.dtype(cfg.dtype).itemsize

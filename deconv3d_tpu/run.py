@@ -408,7 +408,11 @@ class Run:
         """
         chi2_t = self.trace("chi2")                     # [n_chains, n]
         n = chi2_t.shape[1]
-        start = int(np.clip(max(burn, n // 2), 0, max(n - 2, 0)))
+        # the trace is process-local: after a resume (or trace truncation)
+        # it is shorter than sweeps_done, so the absolute burn-in sweep
+        # count must be rebased to trace coordinates before indexing.
+        burn_local = burn - (self.sweeps_done - n)
+        start = int(np.clip(max(burn_local, n // 2), 0, max(n - 2, 0)))
         seg = chi2_t[:, start:]
         out = {
             "sweeps": self.sweeps_done,
@@ -421,18 +425,23 @@ class Run:
             rhat_mon = [
                 ch.gelman_rubin(mon[:, :, k]) for k in range(mon.shape[-1])
             ]
-            finite = [
-                r for r in [rhat_chi2, *rhat_mon] if np.isfinite(r)
-            ]
-            # all-NaN R̂ means zero-variance traces (chains literally agree
-            # everywhere — a degenerate/noiseless run): converged by any
-            # reading, so report the ideal value instead of NaN-poisoning
-            # the criterion.
+            # gelman_rubin returns NaN ONLY for a too-short window (<2
+            # samples per split half) — zero-variance traces already map
+            # to 1.0/inf inside it.  A window with no statistical signal
+            # must therefore read as NOT converged (inf), never as the
+            # ideal 1.0.
+            rhats = [rhat_chi2, *rhat_mon]
+            finite = [r for r in rhats if not np.isnan(r)]
             out["rhat_chi2"] = float(rhat_chi2)
             out["rhat_monitor_max"] = (
-                float(np.nanmax(rhat_mon)) if mon.shape[-1] else 1.0
+                float(np.max([r for r in rhat_mon if not np.isnan(r)]))
+                if any(not np.isnan(r) for r in rhat_mon)
+                else float("inf")
+            ) if mon.shape[-1] else 1.0
+            out["rhat_max"] = (
+                float(np.max(finite)) if len(finite) == len(rhats)
+                else float("inf")
             )
-            out["rhat_max"] = float(np.max(finite)) if finite else 1.0
         return out
 
     def resume(self, path: Optional[str] = None) -> "Run":

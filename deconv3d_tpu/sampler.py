@@ -367,6 +367,11 @@ def make_problem(
         raise ValueError(
             f"prior_precision must be >= 0, got {config.prior_precision}"
         )
+    if config.direct_radial_bins < 1:
+        raise ValueError(
+            f"direct_radial_bins must be >= 1, got "
+            f"{config.direct_radial_bins}"
+        )
     if config.prior_precision > 0 and config.sampler != "direct":
         raise ValueError(
             "prior_precision (Gaussian ridge prior) is implemented for "

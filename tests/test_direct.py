@@ -727,3 +727,52 @@ class TestFullFieldChainsRouting:
         assert run.sweeps_done == 4
         assert np.all(np.isfinite(np.asarray(run.states.chi2)))
         assert run.acceptance_rate == 1.0
+
+
+    def test_multi_chain_shards_per_device_before_rejecting(
+        self, rng, monkeypatch
+    ):
+        """The PCG byte gate is PER-DEVICE: chains shard one-per-device
+        over the implicit all-device mesh, so a budget that admits one
+        chain per device must not reject n_chains == n_devices (review
+        r3 #3); only a genuinely over-budget per-device multiplicity
+        raises."""
+        import deconv3d_tpu.ops.direct as dmod
+
+        ndev = len(jax.devices())
+        if ndev < 2:
+            pytest.skip("needs a multi-device backend")
+        p, *_ = _problem(rng, n=6, direct_tol=1e-9, direct_maxiter=400)
+        bytes1 = dmod._pcg_while_bytes(p)
+        monkeypatch.setattr(
+            dmod, "PCG_WHILE_BYTES_BUDGET", int(bytes1 * 1.2)
+        )
+        # one chain per device: admitted (the old gate raised here)
+        mc = ch.run_chains(p, ndev, n_sweeps=2)
+        assert mc.result.state.clean.shape[0] == ndev
+        assert np.all(np.isfinite(np.asarray(mc.result.chi2_trace)))
+        # two chains per device: 2x the per-device budget -> rejected
+        with pytest.raises(ValueError, match="iid"):
+            ch.run_chains(p, 2 * ndev, n_sweeps=2)
+
+
+def test_radial_bins_validated(rng):
+    """direct_radial_bins=0 must raise, not silently become the default
+    (review r3)."""
+    with pytest.raises(ValueError, match="direct_radial_bins"):
+        _problem(rng, direct_radial_bins=0)
+    with pytest.raises(ValueError, match="direct_radial_bins"):
+        _problem(rng, direct_radial_bins=-4)
+
+
+def test_precond_state_builder_is_cached(rng):
+    """Segmented host-loop runs must reuse the jitted pstate program
+    across segments instead of retracing a fresh lambda (review r3)."""
+    p, *_ = _problem(rng, n=6, direct_tol=1e-9, direct_maxiter=400)
+    states = ch.init_chain_states(p, 1)
+    single = jax.tree_util.tree_map(lambda x: x[0], states)
+    r1 = dr.direct_run_sweeps_host(p, single, 2)
+    n_after_first = dr._precond_state_jit._cache_size()
+    r2 = dr.direct_run_sweeps_host(p, r1.state, 2)
+    assert dr._precond_state_jit._cache_size() == n_after_first
+    assert np.all(np.isfinite(np.asarray(r2.state.chi2)))

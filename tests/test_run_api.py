@@ -350,3 +350,36 @@ def test_direct_lean_facade_checkpoint_resume(tmp_path, rng, monkeypatch):
         np.asarray(full.states.sum_clean),
         np.asarray(second.states.sum_clean), rtol=1e-9, atol=1e-12,
     )
+
+
+def test_run_until_undersized_window_not_converged(rng):
+    """A diagnostic window too short for split-R-hat (<2 samples per
+    half) must read as NOT converged — the NaN fallback used to report
+    the ideal 1.0 and stop with zero statistical evidence (review r3)."""
+    cube, inst, _ = _make_toy(rng)
+    run = Run(cube, inst, max_iterations=1000, burn_in=500, seed=5,
+              n_chains=2, fsf_size=5, lsf_width=5, dtype=np.float64)
+    d = run.run_until(rhat=1.01, check_every=20, max_sweeps=40)
+    assert not d["converged"]
+    assert d["rhat_max"] == float("inf")
+    assert d["rhat_monitor_max"] == float("inf")
+
+
+def test_convergence_window_rebases_after_resume(tmp_path, rng):
+    """burn_in counts absolute sweeps; after a resume the process-local
+    trace is shorter than sweeps_done, so the diagnostic window must be
+    rebased to trace coordinates instead of indexing with the absolute
+    count (review r3)."""
+    cube, inst, _ = _make_toy(rng)
+    kw = dict(max_iterations=200, burn_in=40, seed=9, n_chains=2,
+              fsf_size=5, lsf_width=5, dtype=np.float64)
+    path = str(tmp_path / "ck.npz")
+    Run(cube, inst, checkpoint_path=path, **kw).run(50)
+
+    second = Run(cube, inst, checkpoint_path=path, **kw).resume()
+    second.run(30)                      # local trace n=30, sweeps_done=80
+    d = second._convergence_criteria(40)
+    # all 30 local samples are post-burn-in: the Stan half-window starts
+    # at 15, NOT at the absolute-count clip (n-2 = 28 -> 2-sample window)
+    assert d["window"] == [15, 30]
+    assert np.isfinite(d["rhat_max"])
