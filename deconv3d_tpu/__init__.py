@@ -28,6 +28,7 @@ from .sampler import (
     RunConfig, SamplerState, make_problem, init_state, run_sweeps, ChainResult,
 )
 from .chains import MultiChainResult, gelman_rubin, run_chains
+from .ops.direct import suggest_prior_precision
 from .run import Run
 
 __version__ = "0.1.0"
@@ -43,4 +44,5 @@ __all__ = [
     "convolve_cube",
     "SamplerState", "make_problem", "init_state", "run_sweeps", "ChainResult",
     "MultiChainResult", "gelman_rubin", "run_chains",
+    "suggest_prior_precision",
 ]

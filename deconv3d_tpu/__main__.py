@@ -16,6 +16,13 @@ import sys
 import numpy as np
 
 
+def _tau_arg(s: str):
+    """--prior-precision value: a float, or the literal "auto"
+    (resolved to the measured rel*mean-weight heuristic — see
+    ops/direct.suggest_prior_precision)."""
+    return s if s == "auto" else float(s)
+
+
 def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cube", required=True, help="FITS or NPZ cube path")
     p.add_argument("--out", default="deconv3d_out", help="output prefix")
@@ -54,10 +61,10 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--coarse-mode",
                    choices=["global", "soft", "block", "mixed"],
                    default="global")
-    p.add_argument("--prior-precision", type=float, default=0.0,
-                   help="Gaussian ridge prior precision tau (1/flux^2), "
-                        "sampler='direct' only; bounds the blur-null modes "
-                        "so PCG converges under heavy blur")
+    p.add_argument("--prior-precision", type=_tau_arg, default=0.0,
+                   help="Gaussian ridge prior precision tau (1/flux^2) or "
+                        "'auto', sampler='direct' only; bounds the "
+                        "blur-null modes so PCG converges under heavy blur")
     p.add_argument("--direct-radial-bins", type=int, default=256,
                    help="|k|-bin count of the radially-binned Fourier "
                         "preconditioner (full-field direct/MAP solves); "
@@ -131,7 +138,8 @@ def cmd_map(args) -> int:
     res = run.last_map_result
     print(json.dumps({
         "out": args.out, "tol": args.tol,
-        "prior_precision": args.prior_precision,
+        # resolved value ('auto' becomes the suggested float)
+        "prior_precision": run.last_map_prior_precision,
         "iterations": int(res.iterations),
         "rel_residual": float(res.rel_residual),
         # machine-readable: the stderr warning is easily lost in pipelines
@@ -171,7 +179,7 @@ def main(argv=None) -> int:
     mapp.add_argument("--tol", type=float, default=1e-6)
     mapp.add_argument("--maxiter", type=int, default=500)
     mapp.add_argument(
-        "--prior-precision", type=float, default=None,
+        "--prior-precision", type=_tau_arg, default=None,
         help="Gaussian ridge prior precision tau (1/flux^2); restores CG "
         "convergence under heavy blur (flat-prior operator near-singular)",
     )

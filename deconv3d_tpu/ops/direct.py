@@ -125,10 +125,51 @@ def _tau(problem, override=None) -> float:
     recompiles, like any RunConfig knob).
     """
     t = problem.config.prior_precision if override is None else override
+    if isinstance(t, str):
+        if t == "auto":
+            # make_problem resolves "auto" to a float; an unresolved value
+            # here means a hand-built config bypassed it
+            return suggest_prior_precision(problem)
+        raise ValueError(f"prior_precision must be a float or 'auto', got "
+                         f"{t!r}")
     t = float(t)
     if t < 0:
         raise ValueError(f"prior_precision must be >= 0, got {t}")
     return t
+
+
+#: τ/w̄ ratio used by ``suggest_prior_precision`` / ``prior_precision="auto"``
+AUTO_PRIOR_REL = 1e-4
+
+
+def suggest_prior_precision(problem, rel: float = AUTO_PRIOR_REL) -> float:
+    """Heuristic ridge strength  τ = rel · w̄  for direct draws / MAP solves.
+
+    The flat-prior normal operator KᵀWK is near-singular along blur-null
+    modes, and CG convergence is governed by τ relative to the MEAN WEIGHT
+    w̄ = mean(1/σ²) over unmasked voxels — the overall scale of A's
+    spectrum (the DC eigenvalue of the periodic model is ≈ w̄ for
+    sum-normalised kernels).  Measured (2026-08-18, f32, tol=1e-6):
+
+      MUSE-blur 24×24×64 toy (footprint ≈ field, w̄ = 400):
+        τ/w̄ = 0     STALL (rel 1.2e-3 @ 1500 iters)
+        τ/w̄ = 1e-6  1211 iters        τ/w̄ = 1e-5  656 iters
+        τ/w̄ = 1e-4   254 iters        τ/w̄ = 1e-3   88 iters
+      full MUSE field 300×300×3681 (w̄ = 1):
+        τ = 0 STALL (rel 0.60 @ 600); τ/w̄ = 1e-3 → 75 iters
+        (FULLFIELD_r03_direct.json).
+
+    The default rel = 1e-4 makes the prior σ per voxel = (rel·w̄)^-1/2
+    = 100 × the noise σ — bounding only amplitudes the data cannot see —
+    while keeping hard-regime solves at a few hundred iterations.  τ > 0
+    is a MODEL choice (a proper Gaussian prior): report it with results
+    and check sensitivity by re-running at rel/10.
+    """
+    if rel <= 0:
+        raise ValueError(f"rel must be > 0, got {rel}")
+    w = _w_in(problem) * _free_mask(problem)
+    n = jnp.maximum(jnp.sum((w > 0).astype(jnp.float32)), 1.0)
+    return float(rel * jnp.sum(w.astype(jnp.float32)) / n)
 
 
 def make_normal_operator(problem, prior_precision=None):

@@ -73,7 +73,7 @@ class Run:
         direct_maxiter: int = 500,
         direct_precond: str = "banded",
         direct_radial_bins: int = 256,
-        prior_precision: float = 0.0,
+        prior_precision: "float | str" = 0.0,
     ):
         if isinstance(cube, str):
             cube = (
@@ -186,6 +186,9 @@ class Run:
             prior_precision=prior_precision,
         )
         self.problem = sm.make_problem(cube, self.instrument, self.config)
+        # make_problem may resolve knobs (engine='auto', tile planning,
+        # prior_precision='auto'): keep the facade's view identical
+        self.config = self.problem.config
         self._states = None  # lazy — see the states property
         # host-side trace accumulators [n_chains, total_sweeps]
         self._traces = {"chi2": [], "accept": [], "flux": [], "monitor": []}
@@ -291,12 +294,25 @@ class Run:
                 flags = np.asarray(mc.result.accept_trace)
                 n_bad = int(np.sum(flags < 1.0))
                 if n_bad:
+                    hint = ""
+                    if not self.config.prior_precision:
+                        from .ops.direct import suggest_prior_precision
+
+                        hint = (
+                            "; if the flat-prior posterior is near-"
+                            "improper under this blur, a weak ridge "
+                            "restores convergence: prior_precision="
+                            f"{suggest_prior_precision(self.problem):.2e}"
+                            " (or 'auto' — see "
+                            "ops/direct.suggest_prior_precision)"
+                        )
                     logger.warning(
                         "%d/%d direct draws in this segment did NOT reach "
                         "direct_tol within direct_maxiter=%d iterations — "
                         "their error biases the posterior accumulators; "
-                        "raise direct_maxiter or loosen direct_tol",
+                        "raise direct_maxiter or loosen direct_tol%s",
                         n_bad, flags.size, self.config.direct_maxiter,
+                        hint,
                     )
             self._traces["flux"].append(np.asarray(mc.result.flux_trace))
             self._traces["monitor"].append(np.asarray(mc.result.monitor_trace))
@@ -474,7 +490,7 @@ class Run:
 
     def map_estimate(self, tol: Optional[float] = None,
                      maxiter: Optional[int] = None,
-                     prior_precision: Optional[float] = None) -> Cube:
+                     prior_precision: "float | str | None" = None) -> Cube:
         """MAP (= posterior mean of the linear-Gaussian model) by PCG.
 
         Deterministic and sampler-independent: solves  A c = Kᵀ W d  with
@@ -490,8 +506,10 @@ class Run:
         c ~ N(0, τ⁻¹I) for THIS solve only: under heavy blur the flat-
         prior normal operator is near-singular and CG stalls (measured at
         rel≈0.06 in f32 and f64 alike on a chromatic-Moffat toy) — a weak
-        ridge bounds the blur-null modes and restores convergence.  Pick
-        τ ≈ (k·flux_scale)⁻² with k ~ 3-10 so the prior stays weaker than
+        ridge bounds the blur-null modes and restores convergence.  Pass
+        ``"auto"`` for the measured default τ = 1e-4·w̄
+        (ops/direct.suggest_prior_precision), or pick τ ≈
+        (k·flux_scale)⁻² with k ~ 3-10 so the prior stays weaker than
         the likelihood wherever the data constrain.
 
         With ``spatial_mesh`` set the solve runs GSPMD-sharded over the
@@ -512,6 +530,19 @@ class Run:
                 "included) is not the constrained model's MAP. Use the "
                 "MCMC posterior mean (deconvolved_cube) instead."
             )
+        if prior_precision == "auto":
+            from .ops.direct import suggest_prior_precision
+
+            prior_precision = suggest_prior_precision(self.problem)
+            logger.info(
+                "map_estimate prior_precision='auto' -> %.3e",
+                prior_precision,
+            )
+        # resolved τ of the last solve, machine-readable (CLI JSON)
+        self.last_map_prior_precision = (
+            prior_precision if prior_precision is not None
+            else self.config.prior_precision
+        )
         if self.spatial_mesh is not None:
             from .parallel.direct_sharded import posterior_mean_sharded
 

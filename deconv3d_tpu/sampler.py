@@ -159,7 +159,9 @@ class RunConfig:
     # Fourier preconditioner absorbs +τ into its λ-band diagonals.  Units:
     # 1/flux² — e.g. τ = (3·σ_flux_max)⁻² keeps the prior weaker than the
     # likelihood everywhere the data constrain.  0 = flat (default).
-    prior_precision: float = 0.0
+    # "auto" = rel·w̄ resolved by make_problem from the variance cube
+    # (ops/direct.suggest_prior_precision — measured convergence table).
+    prior_precision: float | str = 0.0
 
     def resolved_burn_in(self) -> int:
         if self.burn_in is not None:
@@ -363,7 +365,13 @@ def make_problem(
             "positivity-truncated joint has no closed form — use "
             "sampler='gibbs' (exact truncated-normal voxel draws)."
         )
-    if config.prior_precision < 0:
+    if isinstance(config.prior_precision, str):
+        if config.prior_precision != "auto":
+            raise ValueError(
+                f"prior_precision must be a float or 'auto', got "
+                f"{config.prior_precision!r}"
+            )
+    elif config.prior_precision < 0:
         raise ValueError(
             f"prior_precision must be >= 0, got {config.prior_precision}"
         )
@@ -372,7 +380,10 @@ def make_problem(
             f"direct_radial_bins must be >= 1, got "
             f"{config.direct_radial_bins}"
         )
-    if config.prior_precision > 0 and config.sampler != "direct":
+    _tau_on = (
+        config.prior_precision == "auto" or config.prior_precision > 0
+    )
+    if _tau_on and config.sampler != "direct":
         raise ValueError(
             "prior_precision (Gaussian ridge prior) is implemented for "
             "sampler='direct' and MAP solves only — the MCMC engines "
@@ -494,6 +505,26 @@ def make_problem(
     )
     mask_np = np.asarray(cube.mask)
     w = jnp.where(jnp.asarray(mask_np)[None], jnp.asarray(0.0, dtype), w)
+    if config.prior_precision == "auto":
+        # τ = rel·w̄ (ops/direct.suggest_prior_precision documents the
+        # measured convergence law); resolved HERE so every downstream
+        # consumer — jitted programs, preconditioner caches, checkpoints —
+        # sees a concrete static float.
+        import logging
+
+        from .ops.direct import AUTO_PRIOR_REL
+
+        wf = w.astype(jnp.float32)
+        wbar = jnp.sum(wf) / jnp.maximum(
+            jnp.sum((wf > 0).astype(jnp.float32)), 1.0
+        )
+        config = dataclasses.replace(
+            config, prior_precision=float(AUTO_PRIOR_REL * wbar)
+        )
+        logging.getLogger("deconv3d_tpu").info(
+            "prior_precision='auto' resolved to %.3e (rel=%.0e × mean "
+            "weight)", config.prior_precision, AUTO_PRIOR_REL,
+        )
     if engine in ("pallas", "pallas_tiled"):
         # the kernel keeps weights VMEM-resident in bfloat16; round here so
         # quad, chi² and accepts all see the *same* (slightly coarser) w̃ —

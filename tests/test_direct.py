@@ -408,6 +408,48 @@ class TestRidgePrior:
                              fsf_size=5, lsf_width=5),
             )
 
+    def test_auto_prior_resolution_and_suggestion(self, rng):
+        """prior_precision="auto" resolves to rel x mean-weight in
+        make_problem; suggest_prior_precision matches and excludes
+        masked spaxels from the mean."""
+        p, *_ = _problem(rng, prior_precision="auto")
+        # _problem noise=0.5 -> w = 1/0.25 = 4 everywhere valid
+        assert p.config.prior_precision == pytest.approx(4e-4, rel=1e-5)
+        assert dr.suggest_prior_precision(p) == pytest.approx(
+            4e-4, rel=1e-5
+        )
+        # masked spaxels (w=0) must not dilute the mean weight
+        from deconv3d_tpu import Cube as _Cube
+
+        L, Y, X = 8, 6, 6
+        data = rng.standard_normal((L, Y, X))
+        mask = np.zeros((Y, X), bool)
+        mask[:3] = True                      # half the spaxels masked
+        cube = _Cube.from_data(
+            data, variance=np.full_like(data, 0.25), mask=mask,
+            crval=4750.0, cdelt=1.25, dtype=np.float64,
+        )
+        inst = ins.Instrument(fsf=ins.GaussianFSF(fwhm=0.25),
+                              lsf=ins.GaussianLSF(fwhm=1.0),
+                              pixel_scale=0.2)
+        cfg = sm.RunConfig(max_iterations=2, sampler="direct",
+                           prior_precision="auto", dtype=np.float64,
+                           fsf_size=3, lsf_width=3)
+        pm = sm.make_problem(cube, inst, cfg)
+        assert pm.config.prior_precision == pytest.approx(4e-4, rel=1e-5)
+
+    def test_auto_prior_restores_convergence(self, rng):
+        """The measured tau = 1e-4*wbar default converges where the flat
+        prior stalls (same geometry as the stall test above)."""
+        kw = dict(Y=16, X=16, L=16, fsf_fwhm=0.9, fsf_size=9,
+                  lsf_fwhm=2.0, lsf_width=5, direct_tol=1e-6,
+                  direct_maxiter=1000)
+        p_auto, *_ = _problem(rng, prior_precision="auto", **kw)
+        res = dr.posterior_mean(p_auto)
+        assert float(res.rel_residual) <= 1e-6, (
+            int(res.iterations), float(res.rel_residual)
+        )
+
     def test_map_estimate_prior_override(self, rng):
         """Ridge MAP on an MCMC-configured Run: the override reaches the
         solve without touching the sampler config."""
