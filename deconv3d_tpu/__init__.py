@@ -21,7 +21,9 @@ from .instruments import (
     GaussianPointSpreadFunction, NoPointSpreadFunction,
     LineSpreadFunction, MUSELineSpreadFunction,
     GaussianLineSpreadFunction, NoLineSpreadFunction,
-    MoffatFSF, GaussianFSF, NoFSF, MUSELSF, GaussianLSF, NoLSF,
+    TabulatedPointSpreadFunction, TabulatedLineSpreadFunction,
+    MoffatFSF, GaussianFSF, NoFSF, TabulatedFSF,
+    MUSELSF, GaussianLSF, NoLSF, TabulatedLSF,
 )
 from .convolve import convolve_cube
 from .sampler import (
@@ -40,7 +42,9 @@ __all__ = [
     "GaussianPointSpreadFunction", "NoPointSpreadFunction",
     "LineSpreadFunction", "MUSELineSpreadFunction",
     "GaussianLineSpreadFunction", "NoLineSpreadFunction",
-    "MoffatFSF", "GaussianFSF", "NoFSF", "MUSELSF", "GaussianLSF", "NoLSF",
+    "TabulatedPointSpreadFunction", "TabulatedLineSpreadFunction",
+    "MoffatFSF", "GaussianFSF", "NoFSF", "TabulatedFSF",
+    "MUSELSF", "GaussianLSF", "NoLSF", "TabulatedLSF",
     "convolve_cube",
     "SamplerState", "make_problem", "init_state", "run_sweeps", "ChainResult",
     "MultiChainResult", "gelman_rubin", "run_chains",

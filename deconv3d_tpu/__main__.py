@@ -38,13 +38,21 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                    choices=["auto", "jnp", "pallas", "pallas_tiled"],
                    default="auto")
     p.add_argument("--positivity", action="store_true")
-    p.add_argument("--fsf", choices=["moffat", "gaussian"], default="moffat")
+    p.add_argument("--fsf", choices=["moffat", "gaussian", "tabulated"],
+                   default="moffat")
     p.add_argument("--fsf-fwhm", type=float, default=0.66,
                    help="FSF FWHM in arcsec")
     p.add_argument("--fsf-beta", type=float, default=2.6)
-    p.add_argument("--lsf", choices=["muse", "gaussian"], default="muse")
+    p.add_argument("--fsf-image", default=None,
+                   help="--fsf tabulated: .npy/.npz with the measured "
+                        "[f,f] or [L,f,f] FSF raster")
+    p.add_argument("--lsf", choices=["muse", "gaussian", "tabulated"],
+                   default="muse")
     p.add_argument("--lsf-fwhm", type=float, default=2.5,
                    help="Gaussian LSF FWHM in Angstrom")
+    p.add_argument("--lsf-kernel", default=None,
+                   help="--lsf tabulated: .npy/.npz with the measured "
+                        "[w] or [L,w] spectral kernel")
     p.add_argument("--pixel-scale", type=float, default=0.2)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--metrics", default=None)
@@ -79,18 +87,46 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                         "this (alone or combined with --until-rhat)")
 
 
+def _load_kernel_array(path: str, what: str) -> np.ndarray:
+    """Measured-kernel file: .npy, or .npz (key 'image'/'kernel'/sole array)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            for key in ("image", "kernel"):
+                if key in z:
+                    return np.asarray(z[key])
+            names = list(z.keys())
+            if len(names) != 1:
+                raise SystemExit(
+                    f"{what}: {path} has keys {names}; expected a single "
+                    "array or an 'image'/'kernel' key"
+                )
+            return np.asarray(z[names[0]])
+    return np.asarray(np.load(path))
+
+
 def _build_instrument(args):
     from . import instruments as ins
 
-    fsf = (
-        ins.MoffatFSF(fwhm=args.fsf_fwhm, beta=args.fsf_beta)
-        if args.fsf == "moffat"
-        else ins.GaussianFSF(fwhm=args.fsf_fwhm)
-    )
-    lsf = (
-        ins.MUSELSF() if args.lsf == "muse"
-        else ins.GaussianLSF(fwhm=args.lsf_fwhm)
-    )
+    if args.fsf == "tabulated":
+        if not getattr(args, "fsf_image", None):
+            raise SystemExit("--fsf tabulated requires --fsf-image PATH")
+        fsf = ins.TabulatedFSF(
+            image=_load_kernel_array(args.fsf_image, "--fsf-image")
+        )
+    elif args.fsf == "moffat":
+        fsf = ins.MoffatFSF(fwhm=args.fsf_fwhm, beta=args.fsf_beta)
+    else:
+        fsf = ins.GaussianFSF(fwhm=args.fsf_fwhm)
+    if args.lsf == "tabulated":
+        if not getattr(args, "lsf_kernel", None):
+            raise SystemExit("--lsf tabulated requires --lsf-kernel PATH")
+        lsf = ins.TabulatedLSF(
+            kernel=_load_kernel_array(args.lsf_kernel, "--lsf-kernel")
+        )
+    elif args.lsf == "muse":
+        lsf = ins.MUSELSF()
+    else:
+        lsf = ins.GaussianLSF(fwhm=args.lsf_fwhm)
     return ins.Instrument(fsf=fsf, lsf=lsf, pixel_scale=args.pixel_scale)
 
 
@@ -185,11 +221,15 @@ def main(argv=None) -> int:
     )
     for flag, kw in (
         ("--direct-radial-bins", dict(type=int, default=256)),
-        ("--fsf", dict(choices=["moffat", "gaussian"], default="moffat")),
+        ("--fsf", dict(choices=["moffat", "gaussian", "tabulated"],
+                       default="moffat")),
         ("--fsf-fwhm", dict(type=float, default=0.66)),
         ("--fsf-beta", dict(type=float, default=2.6)),
-        ("--lsf", dict(choices=["muse", "gaussian"], default="muse")),
+        ("--fsf-image", dict(default=None)),
+        ("--lsf", dict(choices=["muse", "gaussian", "tabulated"],
+                       default="muse")),
         ("--lsf-fwhm", dict(type=float, default=2.5)),
+        ("--lsf-kernel", dict(default=None)),
         ("--pixel-scale", dict(type=float, default=0.2)),
     ):
         mapp.add_argument(flag, **kw)

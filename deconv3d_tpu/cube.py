@@ -87,7 +87,15 @@ class Cube:
         if variance is not None:
             variance = jnp.asarray(variance, dtype=dtype)
             if variance.shape != data.shape:
-                raise ValueError("variance shape must match data shape")
+                # scalar (constant noise) and broadcastable shapes are
+                # accepted; anything else is a real user error
+                try:
+                    variance = jnp.broadcast_to(variance, data.shape)
+                except ValueError:
+                    raise ValueError(
+                        f"variance shape {variance.shape} is not "
+                        f"broadcastable to data shape {data.shape}"
+                    ) from None
         if mask is not None:
             mask = jnp.asarray(mask, dtype=bool)
             if mask.shape != data.shape[1:]:
@@ -111,6 +119,17 @@ class Cube:
             variance=None if variance is None else np.ascontiguousarray(variance),
             crval=crval, cdelt=cdelt, crpix=crpix, dtype=dtype,
         )
+
+    @classmethod
+    def from_file(cls, path: str, dtype=jnp.float32) -> "Cube":
+        """Load a cube by file extension (reference parity: the reference's
+        HyperspectralCube.from_file, SURVEY.md §2 "Cube data model").
+
+        ``.npz`` loads the NPZ layout; anything else is treated as FITS.
+        """
+        if path.endswith(".npz"):
+            return cls.from_npz(path, dtype=dtype)
+        return cls.from_fits(path, dtype=dtype)
 
     @classmethod
     def from_npz(cls, path: str, dtype=jnp.float32) -> "Cube":
@@ -149,6 +168,14 @@ class Cube:
                 )
             )
         fitsio.write(path, hdus)
+
+    def write(self, path: str, header_extra: Optional[dict] = None) -> None:
+        """Write by file extension (reference parity: HyperspectralCube
+        .write()).  ``.npz`` writes the NPZ layout; anything else FITS."""
+        if path.endswith(".npz"):
+            self.to_npz(path)
+        else:
+            self.to_fits(path, header_extra=header_extra)
 
     def to_npz(self, path: str) -> None:
         out = {"data": np.asarray(self.data), "crval": self.crval,

@@ -153,6 +153,83 @@ class NoPointSpreadFunction(PointSpreadFunction):
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)
+class TabulatedPointSpreadFunction(PointSpreadFunction):
+    """User-supplied (measured) FSF image(s) instead of an analytic profile.
+
+    MUSE practice often measures the FSF from stars in the field rather
+    than fitting a Moffat (reference scope: SURVEY.md §2 "kernel
+    rasterization" — the reference rasterises analytic kernels; accepting a
+    measured raster is the natural superset).  ``image`` is ``[f, f]``
+    (achromatic, broadcast over λ) or ``[L, f, f]`` (per-plane, C7), with
+    odd ``f``, centred on the middle pixel.  Each plane is renormalised to
+    unit sum.  ``size`` requests a centred crop (never zero-padding growth:
+    a measured kernel has no data outside its raster).
+    """
+
+    image: "np.ndarray | None" = None
+
+    def __post_init__(self):
+        img = np.asarray(self.image, dtype=np.float64)
+        if img.ndim == 2:
+            img = img[None]
+        if img.ndim != 3 or img.shape[1] != img.shape[2]:
+            raise ValueError(
+                f"image must be [f,f] or [L,f,f] with square planes, "
+                f"got shape {np.asarray(self.image).shape}"
+            )
+        if img.shape[1] % 2 != 1:
+            raise ValueError("FSF raster size must be odd (centred kernel)")
+        if not np.all(np.isfinite(img)):
+            raise ValueError("FSF image contains non-finite values")
+        object.__setattr__(self, "image", img)
+
+    def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
+        """Effective Gaussian-equivalent FWHM (px·pixel_scale-free: in px)
+        from second moments — informational only; nothing samples from it."""
+        lam = np.asarray(wavelengths, dtype=np.float64)
+        img = self.image
+        half = img.shape[1] // 2
+        yy, xx = np.mgrid[-half:half + 1, -half:half + 1].astype(np.float64)
+        w = img / img.sum(axis=(1, 2), keepdims=True)
+        var = (w * (yy * yy + xx * xx)[None]).sum(axis=(1, 2)) / 2.0
+        fw = np.sqrt(var) / _GAUSS_FWHM_TO_SIGMA
+        fw = np.broadcast_to(fw, (lam.shape[0],) if fw.shape[0] == 1
+                             else fw.shape)
+        return np.asarray(fw)
+
+    def default_size(self, wavelengths, pixel_scale: float) -> int:
+        return int(self.image.shape[1])
+
+    def bank(
+        self, wavelengths, size: Optional[int] = None, pixel_scale: float = 0.2
+    ) -> np.ndarray:
+        lam = np.asarray(wavelengths, dtype=np.float64)
+        img = self.image
+        if img.shape[0] == 1:
+            img = np.broadcast_to(img, (lam.shape[0],) + img.shape[1:])
+        elif img.shape[0] != lam.shape[0]:
+            raise ValueError(
+                f"per-λ FSF image has {img.shape[0]} planes but the cube "
+                f"has {lam.shape[0]} wavelengths"
+            )
+        f = img.shape[1]
+        if size is not None:
+            if size % 2 != 1:
+                raise ValueError("FSF footprint size must be odd")
+            if size > f:
+                raise ValueError(
+                    f"requested size {size} exceeds the measured raster {f} "
+                    "— a tabulated kernel cannot be extrapolated"
+                )
+            half, c = size // 2, f // 2
+            img = img[:, c - half:c + half + 1, c - half:c + half + 1]
+        norm = img.sum(axis=(1, 2), keepdims=True)
+        if np.any(norm <= 0):
+            raise ValueError("FSF image planes must have positive total flux")
+        return (img / norm).astype(np.float64)
+
+
+@dataclasses.dataclass(frozen=True)
 class LineSpreadFunction:
     """Base spectral LSF.  ``fwhm_at`` returns FWHM(λ) in Angstrom."""
 
@@ -214,6 +291,75 @@ class GaussianLineSpreadFunction(LineSpreadFunction):
     def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
         lam = np.asarray(wavelengths, dtype=np.float64)
         return np.full(lam.shape, float(self.fwhm))
+
+
+@dataclasses.dataclass(frozen=True)
+class TabulatedLineSpreadFunction(LineSpreadFunction):
+    """User-supplied (measured) spectral kernel(s): ``[w]`` or ``[L, w]``.
+
+    Odd ``w``, centred; rows are renormalised to unit sum.  Mirrors
+    :class:`TabulatedPointSpreadFunction` for the spectral axis (e.g. an
+    LSF measured from arc lines, or exported from mpdaf).
+    """
+
+    kernel: "np.ndarray | None" = None
+
+    def __post_init__(self):
+        k = np.asarray(self.kernel, dtype=np.float64)
+        if k.ndim == 1:
+            k = k[None]
+        if k.ndim != 2:
+            raise ValueError(
+                f"kernel must be [w] or [L,w], got shape "
+                f"{np.asarray(self.kernel).shape}"
+            )
+        if k.shape[1] % 2 != 1:
+            raise ValueError("LSF width must be odd (centred kernel)")
+        if not np.all(np.isfinite(k)):
+            raise ValueError("LSF kernel contains non-finite values")
+        object.__setattr__(self, "kernel", k)
+
+    def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
+        lam = np.asarray(wavelengths, dtype=np.float64)
+        k = self.kernel / self.kernel.sum(axis=1, keepdims=True)
+        half = k.shape[1] // 2
+        off = np.arange(-half, half + 1, dtype=np.float64)
+        var = (k * off * off).sum(axis=1)
+        fw = np.sqrt(var) / _GAUSS_FWHM_TO_SIGMA
+        return np.asarray(np.broadcast_to(
+            fw, (lam.shape[0],) if fw.shape[0] == 1 else fw.shape
+        ))
+
+    def default_width(self, wavelengths, cdelt: float) -> int:
+        return int(self.kernel.shape[1])
+
+    def bank(
+        self, wavelengths, cdelt: float, width: Optional[int] = None
+    ) -> np.ndarray:
+        lam = np.asarray(wavelengths, dtype=np.float64)
+        k = self.kernel
+        if k.shape[0] == 1:
+            k = np.broadcast_to(k, (lam.shape[0], k.shape[1]))
+        elif k.shape[0] != lam.shape[0]:
+            raise ValueError(
+                f"per-λ LSF kernel has {k.shape[0]} rows but the cube has "
+                f"{lam.shape[0]} wavelengths"
+            )
+        w = k.shape[1]
+        if width is not None:
+            if width % 2 != 1:
+                raise ValueError("LSF width must be odd")
+            if width > w:
+                raise ValueError(
+                    f"requested width {width} exceeds the measured kernel "
+                    f"{w} — a tabulated kernel cannot be extrapolated"
+                )
+            half, c = width // 2, w // 2
+            k = k[:, c - half:c + half + 1]
+        norm = k.sum(axis=1, keepdims=True)
+        if np.any(norm <= 0):
+            raise ValueError("LSF kernel rows must have positive total sum")
+        return (k / norm).astype(np.float64)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -288,6 +434,8 @@ class MUSE(Instrument):
 MoffatFSF = MoffatPointSpreadFunction
 GaussianFSF = GaussianPointSpreadFunction
 NoFSF = NoPointSpreadFunction
+TabulatedFSF = TabulatedPointSpreadFunction
 MUSELSF = MUSELineSpreadFunction
 GaussianLSF = GaussianLineSpreadFunction
 NoLSF = NoLineSpreadFunction
+TabulatedLSF = TabulatedLineSpreadFunction

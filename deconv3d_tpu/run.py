@@ -81,10 +81,15 @@ class Run:
                 else Cube.from_fits(cube)
             )
         if variance is not None or mask is not None:
+            if variance is not None:
+                # scalar (constant noise) / broadcastable overrides accepted,
+                # matching Cube.from_data
+                variance = jax.numpy.broadcast_to(
+                    jax.numpy.asarray(variance, dtype=dtype), cube.shape
+                )
             cube = dataclasses.replace(
                 cube,
-                variance=cube.variance if variance is None
-                else jax.numpy.asarray(variance, dtype=dtype),
+                variance=cube.variance if variance is None else variance,
                 mask=cube.mask if mask is None
                 else jax.numpy.asarray(mask, dtype=bool),
             )

@@ -73,3 +73,28 @@ def test_cli_map(tmp_path, rng, capsys):
     m = Cube.from_fits(out_fits)
     assert list(m.shape) == [16, 6, 6]
     assert np.isfinite(np.asarray(m.data)).all()
+
+
+def test_cli_run_tabulated_kernels(tmp_path, rng, capsys):
+    """--fsf/--lsf tabulated load measured rasters from .npy/.npz files."""
+    from deconv3d_tpu import instruments as ins
+
+    path = _write_cube(tmp_path, rng)
+    lam = 4750.0 + 1.25 * np.arange(16)
+    fsf_bank = ins.GaussianFSF(fwhm=0.5).bank(lam, size=5, pixel_scale=0.2)
+    lsf_bank = ins.GaussianLSF(fwhm=2.0).bank(lam, cdelt=1.25, width=5)
+    fsf_path = str(tmp_path / "fsf.npy")
+    lsf_path = str(tmp_path / "lsf.npz")
+    np.save(fsf_path, fsf_bank)
+    np.savez(lsf_path, kernel=lsf_bank)
+    out_prefix = str(tmp_path / "res_tab")
+    rc = main([
+        "run", "--cube", path, "--out", out_prefix,
+        "--iterations", "10", "--sampler", "gibbs",
+        "--fsf", "tabulated", "--fsf-image", fsf_path,
+        "--lsf", "tabulated", "--lsf-kernel", lsf_path,
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["sweeps"] == 10
+    assert os.path.exists(out_prefix + "_clean.fits")
