@@ -164,9 +164,14 @@ class TabulatedPointSpreadFunction(PointSpreadFunction):
     odd ``f``, centred on the middle pixel.  Each plane is renormalised to
     unit sum.  ``size`` requests a centred crop (never zero-padding growth:
     a measured kernel has no data outside its raster).
+
+    ``pixel_scale`` (arcsec/px, optional) makes :meth:`fwhm_at` honour the
+    base-class contract (FWHM in arcsec); without it the moment-based FWHM
+    is returned in *pixels* — see the method docstring.
     """
 
     image: "np.ndarray | None" = None
+    pixel_scale: Optional[float] = None
 
     def __post_init__(self):
         img = np.asarray(self.image, dtype=np.float64)
@@ -184,15 +189,28 @@ class TabulatedPointSpreadFunction(PointSpreadFunction):
         object.__setattr__(self, "image", img)
 
     def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
-        """Effective Gaussian-equivalent FWHM (px·pixel_scale-free: in px)
-        from second moments — informational only; nothing samples from it."""
+        """Effective Gaussian-equivalent FWHM from second moments.
+
+        Returned in **arcsec** when ``pixel_scale`` was given at
+        construction (the base-class contract), otherwise in **pixels** —
+        a measured raster knows nothing about the sky scale.  Informational
+        only; nothing samples from it (``bank``/``default_size`` use the
+        raster directly).
+        """
         lam = np.asarray(wavelengths, dtype=np.float64)
         img = self.image
+        if img.shape[0] not in (1, lam.shape[0]):
+            raise ValueError(
+                f"per-λ FSF image has {img.shape[0]} planes but "
+                f"{lam.shape[0]} wavelengths were given"
+            )
         half = img.shape[1] // 2
         yy, xx = np.mgrid[-half:half + 1, -half:half + 1].astype(np.float64)
         w = img / img.sum(axis=(1, 2), keepdims=True)
         var = (w * (yy * yy + xx * xx)[None]).sum(axis=(1, 2)) / 2.0
         fw = np.sqrt(var) / _GAUSS_FWHM_TO_SIGMA
+        if self.pixel_scale is not None:
+            fw = fw * float(self.pixel_scale)
         fw = np.broadcast_to(fw, (lam.shape[0],) if fw.shape[0] == 1
                              else fw.shape)
         return np.asarray(fw)
@@ -300,9 +318,14 @@ class TabulatedLineSpreadFunction(LineSpreadFunction):
     Odd ``w``, centred; rows are renormalised to unit sum.  Mirrors
     :class:`TabulatedPointSpreadFunction` for the spectral axis (e.g. an
     LSF measured from arc lines, or exported from mpdaf).
+
+    ``cdelt`` (Å/bin, optional) makes :meth:`fwhm_at` honour the base-class
+    contract (FWHM in Angstrom); without it the moment-based FWHM is
+    returned in *spectral bins* — see the method docstring.
     """
 
     kernel: "np.ndarray | None" = None
+    cdelt: Optional[float] = None
 
     def __post_init__(self):
         k = np.asarray(self.kernel, dtype=np.float64)
@@ -320,12 +343,27 @@ class TabulatedLineSpreadFunction(LineSpreadFunction):
         object.__setattr__(self, "kernel", k)
 
     def fwhm_at(self, wavelengths: np.ndarray) -> np.ndarray:
+        """Effective Gaussian-equivalent FWHM from second moments.
+
+        Returned in **Angstrom** when ``cdelt`` was given at construction
+        (the base-class contract), otherwise in **spectral bins** — a
+        measured kernel knows nothing about the wavelength step.
+        Informational only; ``bank``/``default_width`` use the kernel
+        directly.
+        """
         lam = np.asarray(wavelengths, dtype=np.float64)
+        if self.kernel.shape[0] not in (1, lam.shape[0]):
+            raise ValueError(
+                f"per-λ LSF kernel has {self.kernel.shape[0]} rows but "
+                f"{lam.shape[0]} wavelengths were given"
+            )
         k = self.kernel / self.kernel.sum(axis=1, keepdims=True)
         half = k.shape[1] // 2
         off = np.arange(-half, half + 1, dtype=np.float64)
         var = (k * off * off).sum(axis=1)
         fw = np.sqrt(var) / _GAUSS_FWHM_TO_SIGMA
+        if self.cdelt is not None:
+            fw = fw * abs(float(self.cdelt))
         return np.asarray(np.broadcast_to(
             fw, (lam.shape[0],) if fw.shape[0] == 1 else fw.shape
         ))
