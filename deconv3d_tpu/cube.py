@@ -38,6 +38,14 @@ class Cube:
                 semantics: masked spaxels are skipped by the sampler and
                 excluded from chi²), or None.
       crval/cdelt/crpix: spectral axis WCS (Angstrom; FITS 1-based crpix).
+      header:   passthrough FITS cards as a tuple of ``(key, value)`` pairs
+                (hashable → jit-static).  Carries everything the loader
+                parsed beyond the spectral axis — spatial WCS (CRVAL1/2,
+                CRPIX1/2, CD matrix, CTYPE1/2), units, instrument cards —
+                so a real MUSE product's astrometry survives the round trip
+                through ``Run.save()`` (reference parity: the reference's
+                HyperspectralCube keeps the full header; SURVEY.md §2
+                "Cube data model").
     """
 
     data: jax.Array
@@ -46,6 +54,12 @@ class Cube:
     crval: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     cdelt: float = dataclasses.field(default=1.0, metadata=dict(static=True))
     crpix: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+    header: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    @property
+    def header_dict(self) -> dict:
+        """Passthrough header cards as a plain dict (insertion-ordered)."""
+        return dict(self.header)
 
     # -- shape helpers ------------------------------------------------------
     @property
@@ -80,6 +94,7 @@ class Cube:
         cdelt: float = 1.0,
         crpix: float = 1.0,
         dtype=jnp.float32,
+        header=(),
     ) -> "Cube":
         data = jnp.asarray(data, dtype=dtype)
         if data.ndim != 3:
@@ -103,21 +118,54 @@ class Cube:
         return cls(
             data=data, variance=variance, mask=mask,
             crval=float(crval), cdelt=float(cdelt), crpix=float(crpix),
+            header=tuple(header.items()) if isinstance(header, dict)
+            else tuple(header),
         )
+
+    # FITS cards NOT carried in the passthrough header: structural keys the
+    # writer regenerates, and the spectral axis, which lives in the
+    # crval/cdelt/crpix fields (written back as CRVAL3/CDELT3/CRPIX3).
+    _NON_PASSTHROUGH = frozenset(
+        {"SIMPLE", "XTENSION", "BITPIX", "NAXIS", "PCOUNT", "GCOUNT",
+         "EXTEND", "EXTNAME", "BSCALE", "BZERO",
+         "CRVAL3", "CDELT3", "CD3_3", "CRPIX3", "CTYPE3", "CUNIT3"}
+        | {f"NAXIS{i}" for i in range(1, 10)}
+    )
+
+    @classmethod
+    def _passthrough_cards(cls, *headers) -> tuple:
+        """Merge headers (later wins) into the passthrough card tuple."""
+        merged: dict = {}
+        for hdr in headers:
+            for key, value in hdr.items():
+                if key.upper() not in cls._NON_PASSTHROUGH:
+                    merged[key] = value
+        return tuple(merged.items())
 
     @classmethod
     def from_fits(cls, path: str, dtype=jnp.float32) -> "Cube":
-        """Load a MUSE-style FITS cube (DATA + optional STAT extension)."""
+        """Load a MUSE-style FITS cube (DATA + optional STAT extension).
+
+        The full header payload (spatial WCS astrometry, units, instrument
+        cards — primary merged with the data HDU, data HDU winning) rides
+        along in ``self.header`` and is written back by :meth:`to_fits`.
+        """
         hdus = fitsio.read(path)
         data_hdu, stat_hdu = fitsio.find_cube_hdus(hdus)
         crval, cdelt, crpix = fitsio.spectral_wcs(data_hdu.header)
         if (crval, cdelt, crpix) == (0.0, 1.0, 1.0) and hdus[0] is not data_hdu:
             crval, cdelt, crpix = fitsio.spectral_wcs(hdus[0].header)
+        header = (
+            cls._passthrough_cards(hdus[0].header, data_hdu.header)
+            if hdus[0] is not data_hdu
+            else cls._passthrough_cards(data_hdu.header)
+        )
         variance = stat_hdu.data if stat_hdu is not None else None
         return cls.from_data(
             np.ascontiguousarray(data_hdu.data),
             variance=None if variance is None else np.ascontiguousarray(variance),
             crval=crval, cdelt=cdelt, crpix=crpix, dtype=dtype,
+            header=header,
         )
 
     @classmethod
@@ -134,6 +182,11 @@ class Cube:
     @classmethod
     def from_npz(cls, path: str, dtype=jnp.float32) -> "Cube":
         with np.load(path) as z:
+            header = ()
+            if "header_json" in z:
+                import json
+
+                header = tuple(json.loads(str(z["header_json"])).items())
             return cls.from_data(
                 z["data"],
                 variance=z["variance"] if "variance" in z else None,
@@ -142,15 +195,22 @@ class Cube:
                 cdelt=float(z.get("cdelt", 1.0)),
                 crpix=float(z.get("crpix", 1.0)),
                 dtype=dtype,
+                header=header,
             )
 
     # -- persistence ---------------------------------------------------------
     def to_fits(self, path: str, header_extra: Optional[dict] = None) -> None:
-        """Write MUSE-pipeline layout: empty primary + DATA (+ STAT) HDUs."""
-        wcs_cards: dict[str, Any] = {
+        """Write MUSE-pipeline layout: empty primary + DATA (+ STAT) HDUs.
+
+        The passthrough ``header`` cards (spatial WCS etc.) are written to
+        every HDU, then the spectral axis from the cube's own fields, then
+        ``header_extra`` (highest precedence).
+        """
+        wcs_cards: dict[str, Any] = dict(self.header)
+        wcs_cards.update({
             "CRVAL3": self.crval, "CDELT3": self.cdelt, "CRPIX3": self.crpix,
             "CTYPE3": "AWAV", "CUNIT3": "Angstrom",
-        }
+        })
         if header_extra:
             wcs_cards.update(header_extra)
         hdus = [fitsio.HDU(header=dict(wcs_cards))]
@@ -171,19 +231,27 @@ class Cube:
 
     def write(self, path: str, header_extra: Optional[dict] = None) -> None:
         """Write by file extension (reference parity: HyperspectralCube
-        .write()).  ``.npz`` writes the NPZ layout; anything else FITS."""
+        .write()).  ``.npz`` writes the NPZ layout (header cards — including
+        ``header_extra`` — stored as a JSON field); anything else FITS."""
         if path.endswith(".npz"):
-            self.to_npz(path)
+            self.to_npz(path, header_extra=header_extra)
         else:
             self.to_fits(path, header_extra=header_extra)
 
-    def to_npz(self, path: str) -> None:
+    def to_npz(self, path: str, header_extra: Optional[dict] = None) -> None:
         out = {"data": np.asarray(self.data), "crval": self.crval,
                "cdelt": self.cdelt, "crpix": self.crpix}
         if self.variance is not None:
             out["variance"] = np.asarray(self.variance)
         if self.mask is not None:
             out["mask"] = np.asarray(self.mask)
+        cards = dict(self.header)
+        if header_extra:
+            cards.update(header_extra)
+        if cards:
+            import json
+
+            out["header_json"] = np.str_(json.dumps(cards))
         np.savez(path, **out)
 
     # -- sanitisation --------------------------------------------------------
