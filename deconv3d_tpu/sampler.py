@@ -147,6 +147,30 @@ class RunConfig:
     # coarse bin-means regularise them).  Exposed for tuning on other
     # FSF shapes, not for "more is better".
     direct_radial_bins: int = 256
+    # Boundary/mask-aware symmetric diagonal scaling of the Fourier
+    # preconditioners (ops/direct._diag_scale_map): corrects the
+    # periodic-model diag mismatch at field edges and masked regions.
+    # Off by default — measured full-field effect recorded in
+    # FULLFIELD_r04_direct.json / ROADMAP (VERDICT r3 next #7 attempt).
+    direct_precond_scale: bool = False
+    # spatial-conv path of the PCG operator (ops/direct._spatial): 'auto'
+    # matches the backend (depthwise direct conv on TPU, FFT elsewhere);
+    # 'direct'/'fft' force one.  Exists so CPU-mesh harnesses can request
+    # the shardable direct-conv path explicitly instead of monkeypatching
+    # jax.default_backend (VERDICT r3 weak #7).
+    direct_spatial: str = "auto"
+    # Re-baseline the running chi² from the from-scratch FFT value
+    # (full_chi2) every N absolute sweeps.  The incremental chi² is exact
+    # in expectation but accumulates f32 summation error: the full-field
+    # exact-Gibbs drive measured 2.7e-4 relative drift over 400 sweeps
+    # (3e8 voxel draws/sweep — the per-sweep Δchi² totals already carry
+    # the rounding before the Kahan accumulator sees them), vs 4.8e-7 for
+    # MH over 1000 sweeps (VERDICT r3 weak #1).  One full_chi2 is a single
+    # FFT convolution (~0.1 s at full field): every 8 sweeps ≈ 1–2%
+    # overhead on the gibbs kernel, bounding the drift below the 1e-5
+    # bench gate.  None → auto: 8 for gibbs on huge tiled problems
+    # (clean > 256 MB), else 0 (off); explicit ints force it anywhere.
+    chi2_rebaseline_every: Optional[int] = None
     # Optional Gaussian ridge prior  c ~ N(0, prior_precision⁻¹ I)  on the
     # free voxels, for sampler='direct' and MAP solves only (the MCMC
     # engines keep the reference's flat prior).  Under heavy blur the
@@ -380,6 +404,11 @@ def make_problem(
             f"direct_radial_bins must be >= 1, got "
             f"{config.direct_radial_bins}"
         )
+    if config.direct_spatial not in ("auto", "direct", "fft"):
+        raise ValueError(
+            f"direct_spatial must be 'auto', 'direct' or 'fft', got "
+            f"{config.direct_spatial!r}"
+        )
     _tau_on = (
         config.prior_precision == "auto" or config.prior_precision > 0
     )
@@ -475,6 +504,22 @@ def make_problem(
                 "the VMEM budget — use engine='jnp'."
             )
     config = dataclasses.replace(config, engine=engine, tile=tile)
+    if config.chi2_rebaseline_every is None:
+        # auto: exact-Gibbs on a huge tiled field is the measured drift
+        # case (see the knob's comment); everything else stays off.
+        _f0 = fsf_np.shape[-1]
+        _clean_bytes = (
+            L * (-(-Y // _f0) * _f0) * (-(-X // _f0) * _f0)
+            * np.dtype(config.dtype).itemsize
+        )
+        config = dataclasses.replace(
+            config,
+            chi2_rebaseline_every=(
+                8 if (engine == "pallas_tiled"
+                      and config.sampler == "gibbs"
+                      and _clean_bytes > 2**28) else 0
+            ),
+        )
     fsf_spec = fsf_imgs = None
     if engine in ("pallas", "pallas_tiled"):
         # The fused kernel contracts patches on the MXU via the low-rank bank
@@ -1164,10 +1209,84 @@ def run_sweeps(
     runs after every ``coarse_every``-th absolute sweep — chunk boundaries
     follow the ABSOLUTE sweep counter, so any segmentation/resume applies
     the passes at identical points.
+
+    With ``chi2_rebaseline_every`` set (auto for full-field gibbs), the
+    running chi² is reset from the from-scratch FFT value at absolute-sweep
+    multiples, bounding incremental f32 drift (VERDICT r3 weak #1); the
+    chain itself (clean/resid/RNG) is untouched.
     """
+    inner = _engine_run_sweeps
+    if problem.config.chi2_rebaseline_every:
+        inner = _rebaselined_engine
     if problem.config.coarse_every:
-        return _run_sweeps_coarse(problem, state, n_sweeps)
-    return _engine_run_sweeps(problem, state, n_sweeps)
+        return coarse_interleave(
+            problem, state, n_sweeps, lambda s, k: inner(problem, s, k)
+        )
+    return inner(problem, state, n_sweeps)
+
+
+def rebaseline_chi2(problem: Problem, state: SamplerState) -> SamplerState:
+    """State with chi² reset to the from-scratch value (drift bound).
+
+    Only the chi² scalar and its Kahan compensation change; the chain
+    (clean cube, residual, RNG key, accumulators) is bit-untouched, so the
+    sampled posterior is identical — this is bookkeeping hygiene, not a
+    kernel change.
+    """
+    chi2 = full_chi2(problem, state).astype(jnp.float32)
+    if state.clean.nbytes > 2**28:
+        # huge fields: the FFT conv's multi-GB transients must complete
+        # (and free) before the next segment dispatches — the async
+        # tunneled backend otherwise stacks working sets (the round-2
+        # OOM-by-dispatch-queue lesson).
+        jax.block_until_ready(chi2)
+    return dataclasses.replace(
+        state, chi2=chi2, chi2_comp=jnp.zeros((), jnp.float32),
+    )
+
+
+def _rebaselined_engine(
+    problem: Problem, state: SamplerState, n_sweeps: int
+) -> ChainResult:
+    return rebaseline_interleave(
+        problem, state, n_sweeps,
+        lambda s, k: _engine_run_sweeps(problem, s, k),
+    )
+
+
+def rebaseline_interleave(
+    problem: Problem, state: SamplerState, n_sweeps: int, inner
+) -> ChainResult:
+    """Run ``inner(state, k)`` segments split at chi²-rebaseline boundaries.
+
+    Boundaries follow the ABSOLUTE sweep counter (like coarse_interleave),
+    so any segmentation — Run.run segments, checkpoint/resume, the
+    full-field drive's per-cap calls — re-baselines at identical sweeps.
+    Used by run_sweeps and by the chains layer's per-chain tiled loop.
+    """
+    every = int(problem.config.chi2_rebaseline_every)
+    parts = []
+    cur = state
+    left = n_sweeps
+    while left > 0:
+        done = int(np.asarray(cur.sweep).ravel()[0])
+        k = min(left, every - (done % every))
+        r = inner(cur, k)
+        cur = r.state
+        if int(np.asarray(cur.sweep).ravel()[0]) % every == 0:
+            cur = rebaseline_chi2(problem, cur)
+            r = dataclasses.replace(r, state=cur)
+        parts.append(r)
+        left -= k
+    if len(parts) == 1:
+        return parts[0]
+    return ChainResult(
+        state=cur,
+        chi2_trace=jnp.concatenate([r.chi2_trace for r in parts]),
+        accept_trace=jnp.concatenate([r.accept_trace for r in parts]),
+        flux_trace=jnp.concatenate([r.flux_trace for r in parts]),
+        monitor_trace=jnp.concatenate([r.monitor_trace for r in parts]),
+    )
 
 
 #: (weakref(problem), coarse-pass constants) per (problem id, mode):
@@ -1269,15 +1388,6 @@ def coarse_interleave(
         monitor_trace=jnp.concatenate(
             [r.monitor_trace for r in parts], axis
         ),
-    )
-
-
-def _run_sweeps_coarse(
-    problem: Problem, state: SamplerState, n_sweeps: int
-) -> ChainResult:
-    return coarse_interleave(
-        problem, state, n_sweeps,
-        lambda s, k: _engine_run_sweeps(problem, s, k),
     )
 
 

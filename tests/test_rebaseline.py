@@ -1,0 +1,121 @@
+"""chi² re-baseline tests (VERDICT r3 weak #1 / next #1).
+
+The incremental chi² accumulates f32 summation error on huge problems
+(measured 2.7e-4 over a 400-sweep full-field exact-Gibbs drive); the
+``chi2_rebaseline_every`` knob resets it from the from-scratch FFT value at
+absolute-sweep boundaries.  These tests prove the MECHANISM at toy scale:
+the reset actually fires, kills injected drift, and leaves the chain
+bit-untouched.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from deconv3d_tpu import sampler as sm
+from test_sampler import _make_toy
+
+
+def _problem(rng, every=None, sampler="gibbs", toy=None):
+    cube, inst, _ = toy if toy is not None else _make_toy(rng, noise=0.2)
+    cfg = sm.RunConfig(
+        max_iterations=100, burn_in=4, seed=2, sampler=sampler,
+        fsf_size=5, lsf_width=5, dtype=np.float64,
+        chi2_rebaseline_every=every,
+    )
+    return sm.make_problem(cube, inst, cfg)
+
+
+def test_auto_resolves_off_for_small_problems(rng):
+    p = _problem(rng, every=None)
+    assert p.config.chi2_rebaseline_every == 0
+
+
+def test_rebaseline_kills_injected_drift(rng):
+    """Inject a large artificial chi² offset mid-run; the next boundary
+    crossing must snap the running chi² back to the from-scratch value."""
+    p = _problem(rng, every=4)
+    state = sm.init_state(p)
+    r = sm.run_sweeps(p, state, 2)                     # sweeps 0-1
+    # simulate accumulated drift: poison the running chi²
+    poisoned = dataclasses.replace(
+        r.state, chi2=r.state.chi2 + jnp.float64(1e3).astype(jnp.float32)
+    )
+    r2 = sm.run_sweeps(p, poisoned, 4)                 # crosses sweep 4
+    chi_run = float(r2.state.chi2)
+    chi_full = float(sm.full_chi2(p, r2.state))
+    # the 1e3 offset is gone; what remains is ≤ a few f32 ulps of the two
+    # post-boundary sweeps' accumulation — the bench gate's 1e-5 bound
+    assert abs(chi_run - chi_full) / chi_full < 1e-5
+    # without the knob the offset survives (sanity: the test is load-bearing)
+    p0 = _problem(rng, every=0)
+    state0 = sm.init_state(p0)
+    r0 = sm.run_sweeps(p0, state0, 2)
+    poisoned0 = dataclasses.replace(
+        r0.state, chi2=r0.state.chi2 + jnp.float64(1e3).astype(jnp.float32)
+    )
+    r02 = sm.run_sweeps(p0, poisoned0, 4)
+    assert abs(float(r02.state.chi2) - float(sm.full_chi2(p0, r02.state))) > 100
+
+
+def test_rebaseline_preserves_chain(rng):
+    """Only chi² bookkeeping changes: clean/resid/key/accumulators are
+    bit-identical with and without re-baselining."""
+    toy = _make_toy(rng, noise=0.2)
+    pa = _problem(rng, every=3, toy=toy)
+    pb = _problem(rng, every=0, toy=toy)
+    ra = sm.run_sweeps(pa, sm.init_state(pa), 10)
+    rb = sm.run_sweeps(pb, sm.init_state(pb), 10)
+    np.testing.assert_array_equal(
+        np.asarray(ra.state.clean), np.asarray(rb.state.clean)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra.state.resid), np.asarray(rb.state.resid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra.state.key), np.asarray(rb.state.key)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra.state.sum_clean), np.asarray(rb.state.sum_clean)
+    )
+    # chi² traces agree to f32 ulps: after a boundary the trace builds on
+    # the FFT-recomputed baseline, which differs from the incremental value
+    # only by the rounding the reset exists to correct
+    np.testing.assert_allclose(
+        np.asarray(ra.chi2_trace), np.asarray(rb.chi2_trace), rtol=5e-6
+    )
+
+
+def test_rebaseline_segmentation_invariant(rng):
+    """Boundaries follow the absolute sweep counter: any caller-side
+    segmentation re-baselines at identical sweeps."""
+    p = _problem(rng, every=4)
+    a = sm.run_sweeps(p, sm.init_state(p), 10)
+    s = sm.init_state(p)
+    for k in (3, 1, 4, 2):
+        b = sm.run_sweeps(p, s, k)
+        s = b.state
+    np.testing.assert_array_equal(
+        np.asarray(a.state.clean), np.asarray(s.clean)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state.chi2), np.asarray(s.chi2)
+    )
+
+
+def test_rebaseline_composes_with_coarse(rng):
+    """chi2_rebaseline_every and coarse_every interleave without changing
+    the chain vs coarse alone."""
+    cube, inst, _ = _make_toy(rng, noise=0.2)
+    kw = dict(max_iterations=100, burn_in=4, seed=2, sampler="mh",
+              fsf_size=5, lsf_width=5, dtype=np.float64, coarse_every=4)
+    pa = sm.make_problem(cube, inst, sm.RunConfig(
+        chi2_rebaseline_every=3, **kw))
+    pb = sm.make_problem(cube, inst, sm.RunConfig(
+        chi2_rebaseline_every=0, **kw))
+    ra = sm.run_sweeps(pa, sm.init_state(pa), 9)
+    rb = sm.run_sweeps(pb, sm.init_state(pb), 9)
+    np.testing.assert_array_equal(
+        np.asarray(ra.state.clean), np.asarray(rb.state.clean)
+    )
