@@ -78,6 +78,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                         "preconditioner (full-field direct/MAP solves); "
                         "256 is the measured optimum — fine bins amplify "
                         "boundary-model mismatch and can stall CG")
+    p.add_argument("--direct-precond-scale", action="store_true",
+                   help="boundary/mask-aware diagonal scaling of the "
+                        "Fourier preconditioner (direct/MAP solves)")
     p.add_argument("--until-rhat", type=float, default=None,
                    help="run until split-R-hat of chi2 AND every monitor "
                         "voxel is below this (needs --chains >= 2); "
@@ -143,6 +146,7 @@ def cmd_run(args) -> int:
         coarse_every=args.coarse_every, coarse_mode=args.coarse_mode,
         prior_precision=args.prior_precision,
         direct_radial_bins=args.direct_radial_bins,
+        direct_precond_scale=args.direct_precond_scale,
         checkpoint_path=args.checkpoint, metrics_path=args.metrics,
     )
     if args.until_rhat is not None or args.min_ess is not None:
@@ -169,6 +173,7 @@ def cmd_map(args) -> int:
         args.cube, _build_instrument(args), max_iterations=1,
         direct_tol=args.tol, direct_maxiter=args.maxiter,
         direct_radial_bins=args.direct_radial_bins,
+        direct_precond_scale=args.direct_precond_scale,
     )
     run.map_estimate(prior_precision=args.prior_precision).to_fits(args.out)
     res = run.last_map_result
@@ -221,6 +226,7 @@ def main(argv=None) -> int:
     )
     for flag, kw in (
         ("--direct-radial-bins", dict(type=int, default=256)),
+        ("--direct-precond-scale", dict(action="store_true")),
         ("--fsf", dict(choices=["moffat", "gaussian", "tabulated"],
                        default="moffat")),
         ("--fsf-fwhm", dict(type=float, default=0.66)),

@@ -818,3 +818,51 @@ def test_precond_state_builder_is_cached(rng):
     r2 = dr.direct_run_sweeps_host(p, r1.state, 2)
     assert dr._precond_state_jit._cache_size() == n_after_first
     assert np.all(np.isfinite(np.asarray(r2.state.chi2)))
+
+
+class TestDiagScaledPreconditioner:
+    """direct_precond_scale: boundary/mask-aware symmetric scaling of the
+    Fourier preconditioner (VERDICT r3 next #7 attempt)."""
+
+    @pytest.mark.parametrize("precond", ["banded", "banded_radial"])
+    def test_scaled_pcg_reaches_same_solution(self, rng, precond):
+        p, data, fsf, lsf = _problem(
+            rng, Y=12, X=12, fsf_fwhm=0.4, fsf_size=5, lsf_width=3,
+            direct_precond=precond, direct_precond_scale=True,
+            direct_maxiter=3000, direct_tol=1e-9,
+        )
+        res = dr.posterior_mean(p)
+        assert float(res.rel_residual) <= p.config.direct_tol
+        K = _dense_forward_operator(p.L, p.Y, p.X, fsf, lsf)
+        W = np.eye(p.L * p.Y * p.X) / 0.5**2
+        mean = np.linalg.solve(K.T @ W @ K, K.T @ W @ data.ravel())
+        np.testing.assert_allclose(
+            np.asarray(res.x).ravel(), mean, rtol=1e-4, atol=1e-5
+        )
+
+    def test_scale_map_shape_and_interior(self, rng):
+        """s = 1 in the interior (circulant model exact there), > 1 toward
+        boundaries/masks, and masked-heavy fields still produce finite s."""
+        mask = np.zeros((16, 16), bool)
+        mask[:, :6] = True
+        p, *_ = _problem(rng, Y=16, X=16, fsf_fwhm=0.4, fsf_size=5,
+                         lsf_width=3, direct_precond_scale=True)
+        s = np.asarray(dr._diag_scale_map(p, tau=0.0))
+        assert s.shape == (1, p.Y, p.X)
+        assert np.all(np.isfinite(s))
+        assert np.all(s >= 1.0)
+        # corner spaxels see less kernel mass than the centre
+        assert s[0, 0, 0] > s[0, p.Y // 2, p.X // 2]
+
+    def test_scaled_state_flows_through_host_pcg(self, rng):
+        """The (core, s_map) tuple state must ride the host-loop PCG's
+        argument plumbing unchanged."""
+        p, *_ = _problem(rng, direct_precond="banded",
+                         direct_precond_scale=True)
+        b = jnp.asarray(rng.standard_normal((p.L, p.Y, p.X)))
+        got = dr.pcg_host(p, b, tol=1e-9, maxiter=2000)
+        ref = dr.pcg(dr.make_normal_operator(p), dr.make_preconditioner(p),
+                     b * dr._free_mask(p), tol=1e-9, maxiter=2000)
+        np.testing.assert_allclose(
+            np.asarray(got.x), np.asarray(ref.x), rtol=1e-6, atol=1e-8
+        )
