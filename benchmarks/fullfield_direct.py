@@ -70,7 +70,7 @@ def main():
     ap.add_argument("--maxiter", type=int, default=600)
     ap.add_argument("--tau", type=float, default=1e-3,
                     help="ridge precision of the converged configuration")
-    ap.add_argument("--out", default="FULLFIELD_r03_direct.json")
+    ap.add_argument("--out", default="FULLFIELD_r04_direct.json")
     args = ap.parse_args()
     L, Y, X = args.l, args.y, args.y
 
@@ -98,6 +98,18 @@ def main():
           f"{p.quad is None})", flush=True)
     measure_draw(p, 1, "ridge_warmup(compile)")
     results["draws"].append(measure_draw(p, 2, "ridge"))
+
+    # --- VERDICT r3 next #7 attempt: boundary/mask-aware diagonal scaling
+    # of the radial preconditioner.  Same problem constants; only the
+    # preconditioner state changes — measure iterations + s/draw head-on.
+    import dataclasses as _dc
+
+    p_scaled = _dc.replace(
+        p, config=_dc.replace(p.config, direct_precond_scale=True)
+    )
+    measure_draw(p_scaled, 1, "ridge_scaled_warmup(compile)")
+    results["draws"].append(measure_draw(p_scaled, 2, "ridge_scaled"))
+    del p_scaled
 
     # --- product path: run_sweeps auto-routes to the host loop ------------
     state = sm.init_state(p)

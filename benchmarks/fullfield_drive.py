@@ -130,8 +130,8 @@ def main():
     if args.spatial_shards:
         tag += f"_sh{args.spatial_shards}"
     out_path = args.out or (
-        f"FULLFIELD_r03{tag}.json" if args.sampler == "mh"
-        else f"FULLFIELD_r03_{args.sampler}{tag}.json"
+        f"FULLFIELD_r04{tag}.json" if args.sampler == "mh"
+        else f"FULLFIELD_r04_{args.sampler}{tag}.json"
     )
 
     inst = ins.MUSE()
