@@ -792,16 +792,20 @@ def run_sweeps_kernel_sharded(
     two extra compile variants of the sharded program — leading/trailing
     partials — on top of the steady-state ``coarse_every``-sweep one).
     """
-    if problem.config.coarse_every:
-        return sm.coarse_interleave(
-            problem, state, n_sweeps,
-            lambda s, k: _run_sweeps_kernel_inner(
-                problem, s, k, mesh, axis_name, interior
-            ),
-        )
-    return _run_sweeps_kernel_inner(
-        problem, state, n_sweeps, mesh, axis_name, interior
+    inner = lambda s, k: _run_sweeps_kernel_inner(  # noqa: E731
+        problem, s, k, mesh, axis_name, interior
     )
+    if problem.config.chi2_rebaseline_every:
+        # same drift bound as the single-device engines (sampler.run_sweeps):
+        # state crosses this entry point in standard layout, so full_chi2
+        # composes unchanged
+        _inner = inner
+        inner = lambda s, k: sm.rebaseline_interleave(  # noqa: E731
+            problem, s, k, _inner
+        )
+    if problem.config.coarse_every:
+        return sm.coarse_interleave(problem, state, n_sweeps, inner)
+    return inner(state, n_sweeps)
 
 
 def _run_sweeps_kernel_inner(
