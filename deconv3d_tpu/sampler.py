@@ -1468,13 +1468,131 @@ _jnp_run_sweeps_donated = partial(
 # ---------------------------------------------------------------------------
 
 def full_chi2(problem: Problem, state: SamplerState) -> jax.Array:
-    """Recompute chi² from scratch via the FFT path (drift check, C5)."""
+    """Recompute chi² from scratch via the full conv path (drift check, C5).
+
+    Above ``FULL_CHI2_CHUNK_BYTES`` (per-cube) this routes to the λ-chunked
+    evaluation: the monolithic ``convolve_cube`` holds ~5 cube-size
+    transients (spectral pad + spectral out + conv + resid on top of the
+    inputs), which measured RESOURCE_EXHAUSTED on the full MUSE field with
+    the tiled sampler's ~7.4 GiB standing state live — exactly the regime
+    the chi²-rebaseline exists for.
+    """
     p = problem
+    if p.w_pad.nbytes > FULL_CHI2_CHUNK_BYTES:
+        return full_chi2_chunked(p, state)
     h = p.f // 2
     conv = cv.convolve_cube(state.clean[:, : p.Y, : p.X], p.fsf, p.lsf)
     resid = p.data_pad[:, h : h + p.Y, h : h + p.X] - conv
     w = p.w_pad[:, h : h + p.Y, h : h + p.X]
     return jnp.sum(resid * resid * w, dtype=jnp.float32)
+
+
+# Same big-field threshold the coarse λ-chunking and the rebaseline auto
+# rule use: a cube above this is "huge" and gets bounded-transient paths.
+FULL_CHI2_CHUNK_BYTES = 2**28
+
+
+def _chi2_lam_chunk(
+    lsf, fsf, data_pad, w_pad, clean_padl, lo, n, h, spatial, Y, X
+):
+    """chi² over output λ-planes [lo, lo+n) — one bounded-size chunk.
+
+    ``clean_padl`` is the clean cube zero-padded by the LSF half-width on
+    the λ axis, so plane ``lo + s`` of it is clean plane ``lo + s − hl``
+    and the 'same'-convolution edge semantics of the monolithic path are
+    reproduced exactly.  Order matches convolve_cube's canonical
+    ``lsf_first``: spectral stage on the slab, then the per-plane FSF.
+    ``Y``/``X`` are the true field dims — data_pad carries tile padding
+    beyond the h halo, so they cannot be derived from its shape.
+    """
+    width = int(lsf.shape[1])
+    lo = jnp.asarray(lo, jnp.int32)
+    slab = jax.lax.dynamic_slice_in_dim(clean_padl, lo, n + width - 1, axis=0)
+    if lsf.shape[0] == 1:
+        lrows = jnp.broadcast_to(lsf, (n, width))
+    else:
+        lrows = jax.lax.dynamic_slice_in_dim(lsf, lo, n, axis=0)
+    out = jnp.zeros((n, Y, X), slab.dtype)
+    for d in range(width):
+        out = out + lrows[:, d, None, None] * jax.lax.slice_in_dim(
+            slab, d, d + n, axis=0
+        )
+    if fsf.shape[0] == 1:
+        frows = fsf
+    else:
+        frows = jax.lax.dynamic_slice_in_dim(fsf, lo, n, axis=0)
+    spatial_fn = cv.apply_fsf_direct if spatial == "direct" else cv.apply_fsf
+    conv = spatial_fn(out, frows)
+    h32 = jnp.int32(h)
+    data = jax.lax.dynamic_slice(data_pad, (lo, h32, h32), (n, Y, X))
+    w = jax.lax.dynamic_slice(w_pad, (lo, h32, h32), (n, Y, X))
+    resid = data - conv
+    return jnp.sum(resid * resid * w, dtype=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "n", "h", "spatial", "Y", "X"))
+def _chi2_lam_chunks_jit(
+    lsf, fsf, data_pad, w_pad, clean_padl, n_chunks, n, h, spatial, Y, X
+):
+    """Σ of the first ``n_chunks`` equal-size λ-chunks under one fori_loop.
+
+    One chunk's transients (~0.5 GB at chunk=256 on a 300×300 field) are
+    live at a time — the loop body's buffers are reused across iterations,
+    and nothing round-trips to the host between chunks.
+    """
+
+    def body(i, acc):
+        return acc + _chi2_lam_chunk(
+            lsf, fsf, data_pad, w_pad, clean_padl, i * n, n, h, spatial, Y, X
+        )
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((), jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("n", "h", "spatial", "Y", "X"))
+def _chi2_lam_rem_jit(
+    lsf, fsf, data_pad, w_pad, clean_padl, lo, n, h, spatial, Y, X
+):
+    return _chi2_lam_chunk(
+        lsf, fsf, data_pad, w_pad, clean_padl, lo, n, h, spatial, Y, X
+    )
+
+
+@partial(jax.jit, static_argnames=("Y", "X", "hl"))
+def _pad_clean_lam(clean, Y, X, hl):
+    return jnp.pad(clean[:, :Y, :X], ((hl, hl), (0, 0), (0, 0)))
+
+
+def full_chi2_chunked(
+    problem: Problem, state: SamplerState, chunk: int = 256
+) -> jax.Array:
+    """From-scratch chi² with bounded transients (huge fields).
+
+    Identical math to the monolithic :func:`full_chi2` (same per-plane FSF
+    conv, same 'same'-padded spectral conv), evaluated over λ-chunks of
+    ``chunk`` output planes; CI asserts equality against the monolithic
+    path on small problems (tests/test_rebaseline.py).
+    """
+    p = problem
+    h = p.f // 2
+    hl = int(p.lsf.shape[1]) // 2
+    chunk = min(int(chunk), p.L)
+    # slice + λ-pad fused in one program: only the padded output buffer
+    # (one cube copy) is allocated, not an intermediate for the slice
+    clean_padl = _pad_clean_lam(state.clean, Y=p.Y, X=p.X, hl=hl)
+    spatial = "direct" if jax.default_backend() == "tpu" else "fft"
+    n_full, rem = divmod(p.L, chunk)
+    total = _chi2_lam_chunks_jit(
+        p.lsf, p.fsf, p.data_pad, p.w_pad, clean_padl,
+        n_chunks=n_full, n=chunk, h=h, spatial=spatial, Y=p.Y, X=p.X,
+    )
+    if rem:
+        total = total + _chi2_lam_rem_jit(
+            p.lsf, p.fsf, p.data_pad, p.w_pad, clean_padl,
+            jnp.int32(n_full * chunk),
+            n=rem, h=h, spatial=spatial, Y=p.Y, X=p.X,
+        )
+    return total
 
 
 def posterior_mean(problem: Problem, state: SamplerState) -> jax.Array:

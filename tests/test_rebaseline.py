@@ -119,3 +119,48 @@ def test_rebaseline_composes_with_coarse(rng):
     np.testing.assert_array_equal(
         np.asarray(ra.state.clean), np.asarray(rb.state.clean)
     )
+
+
+def test_full_chi2_chunked_matches_monolithic(rng):
+    """λ-chunked from-scratch chi² == monolithic, any chunking.
+
+    The chunked path is what full_chi2 routes to on huge fields (the
+    monolithic conv's ~5 cube-size transients measured RESOURCE_EXHAUSTED
+    on the full MUSE field with the tiled gibbs state live); equality here
+    is what makes the full-field rebaseline trustworthy.
+    """
+    p = _problem(rng, every=0, sampler="mh")
+    st = sm.run_sweeps(p, sm.init_state(p), 3).state
+    ref = float(sm.full_chi2(p, st))
+    for chunk in (1, 3, 7, 16, 64):
+        got = float(sm.full_chi2_chunked(p, st, chunk=chunk))
+        np.testing.assert_allclose(got, ref, rtol=5e-6)
+
+
+def test_full_chi2_chunked_matches_chromatic(rng):
+    """Same equality with λ-DEPENDENT FSF and LSF banks ([L,f,f]/[L,w]):
+    the chunked path slices per-plane kernel rows dynamically."""
+    from deconv3d_tpu import instruments as ins
+    from deconv3d_tpu import Cube
+
+    L, Y, X = 13, 6, 6
+    truth = np.zeros((L, Y, X))
+    truth[L // 2, Y // 2, X // 2] = 5.0
+    inst = ins.Instrument(
+        fsf=ins.MoffatFSF(fwhm=0.45, lambda_ref=4750.0, fwhm_slope=4e-3),
+        lsf=ins.MUSELineSpreadFunction(),
+        pixel_scale=0.2,
+    )
+    cube = Cube.from_data(
+        truth + 0.2, variance=np.full_like(truth, 0.04),
+        crval=4750.0, cdelt=1.25, dtype=np.float64,
+    )
+    cfg = sm.RunConfig(max_iterations=20, burn_in=2, seed=0, sampler="mh",
+                       fsf_size=5, lsf_width=5, dtype=np.float64)
+    p = sm.make_problem(cube, inst, cfg)
+    assert p.fsf.shape[0] == L and p.lsf.shape[0] == L
+    st = sm.run_sweeps(p, sm.init_state(p), 2).state
+    ref = float(sm.full_chi2(p, st))
+    for chunk in (1, 4, 5, 13, 99):
+        got = float(sm.full_chi2_chunked(p, st, chunk=chunk))
+        np.testing.assert_allclose(got, ref, rtol=5e-6)
