@@ -150,8 +150,11 @@ class RunConfig:
     # Boundary/mask-aware symmetric diagonal scaling of the Fourier
     # preconditioners (ops/direct._diag_scale_map): corrects the
     # periodic-model diag mismatch at field edges and masked regions.
-    # Off by default — measured full-field effect recorded in
-    # FULLFIELD_r04_direct.json / ROADMAP (VERDICT r3 next #7 attempt).
+    # Off by default, and measured NEGATIVE at full field (FULLFIELD_
+    # r04_direct.json: 600 CG iterations rel 0.14 STALLED vs 75
+    # converged unscaled — the rescaling breaks the radial binning's
+    # near-null-mode damping at scale despite passing the dense oracle
+    # at toy size).  Do not enable on large fields.
     direct_precond_scale: bool = False
     # spatial-conv path of the PCG operator (ops/direct._spatial): 'auto'
     # matches the backend (depthwise direct conv on TPU, FFT elsewhere);
