@@ -71,6 +71,44 @@ import numpy as np
 #: number of soft eigen-patterns used by mode='soft'
 N_SOFT = 4
 
+#: auto-enable threshold for interleaved global passes (spaxel count).
+#: Measured wall-clock ESS/s vs plain (COARSE_REGIMES_r05.json, on-chip):
+#: the pass costs ~one full conv, so it only pays where a sweep itself is
+#: expensive — 120×120 mh: 6.4× voxel / 6.0× box-flux ESS/s; full MUSE
+#: field: 4.5× (FULLFIELD_r03_coarse.json).  At 24×24/30×30 the same pass
+#: is 8–17 sweeps' worth of time and measured 0.08–0.5× voxel and
+#: 0.12–0.34× box-flux ESS/s — a net loss, so small fields stay plain.
+COARSE_AUTO_MIN_SPAXELS = 10_000
+
+#: minimum FSF footprint for the auto default: with a narrow FSF the
+#: posterior has no slow blur-null modes for the pass to attack, so it
+#: would only eat the ~conv-per-8-sweeps cost.  All measured wins are at
+#: the MUSE default f=17.
+COARSE_AUTO_MIN_F = 9
+
+
+def auto_coarse_every(problem):
+    """Data-driven default for ``coarse_every`` (None = stay plain).
+
+    Fires ONLY where the interleaved global pattern passes are a measured
+    wall-clock ESS/s win (VERDICT r4 #1): reference-parity ``mh`` on large
+    blurred fields (≥ ``COARSE_AUTO_MIN_SPAXELS`` spaxels, footprint ≥
+    ``COARSE_AUTO_MIN_F``).  gibbs is excluded: at 120×120 the passes buy
+    8.3× voxel ESS/s but COST 25% of box-flux ESS/s (COARSE_REGIMES_r05
+    mid gibbs_coarse8 vs_plain_box 0.75) — not a safe default.  Positivity
+    is excluded structurally (a shared pattern jump cannot reflect
+    per-voxel constraints; make_problem rejects the combination).
+    """
+    cfg = problem.config
+    if (
+        cfg.sampler == "mh"
+        and not cfg.positivity
+        and problem.Y * problem.X >= COARSE_AUTO_MIN_SPAXELS
+        and problem.f >= COARSE_AUTO_MIN_F
+    ):
+        return 8
+    return None
+
 
 def soft_patterns(fsf_np: np.ndarray, k: int = N_SOFT) -> np.ndarray:
     """The k softest f×f patterns of the FSF autocorrelation form.

@@ -203,37 +203,54 @@ class Run:
         # make_problem may resolve knobs (engine='auto', tile planning,
         # prior_precision='auto'): keep the facade's view identical
         self.config = self.problem.config
-        # Blur-dominated default flow (VERDICT r3 weak #6 / next #3): when
-        # the FSF footprint covers half the field or more, the single-site
-        # samplers equilibrate in chi² but random-walk the blur-null modes —
-        # the posterior mean of a naive fixed-length run looks like noise
-        # even though the chain is correct.  The global coarse-pattern pass
-        # attacks exactly those modes (measured 46× voxel-ESS for MH on this
-        # regime, tests/test_coarse.py), so the facade turns it on by
-        # default here.  Pass coarse_every=0 to opt out (None = auto).
-        if (
-            coarse_every is None
-            and sampler in ("mh", "gibbs")
-            and not positivity
-            and self.problem.f >= max(9, min(self.problem.Y,
-                                             self.problem.X) // 2)
-        ):
+        # Auto coarse passes (VERDICT r4 #1): the interleaved global
+        # pattern passes are enabled by default ONLY where they are a
+        # measured wall-clock ESS/s WIN — mh on large blurred fields
+        # (120×120: 6.4× voxel / 6.0× box-flux ESS/s; full MUSE field:
+        # 4.5× — COARSE_REGIMES_r05.json, FULLFIELD_r03_coarse.json).  On
+        # small fields the pass costs 8–17 sweeps' worth of wall time and
+        # measured a NET LOSS (0.08–0.5×), so blur-dominated SMALL fields
+        # get a warning routing to the tools that do work there instead of
+        # a default that slows them down.  Pass coarse_every=0 to opt out
+        # (None = auto).
+        from .ops.coarse import auto_coarse_every
+
+        auto_every = (
+            auto_coarse_every(self.problem) if coarse_every is None else None
+        )
+        if auto_every:
             self.config = dataclasses.replace(
-                self.config, coarse_every=8, coarse_mode="global"
+                self.config, coarse_every=auto_every, coarse_mode="global"
             )
             self.problem = dataclasses.replace(
                 self.problem, config=self.config
             )
+            logger.info(
+                "large blurred field (%dx%d spaxels, footprint %d px): "
+                "enabling global coarse-pattern passes (coarse_every=%d) — "
+                "measured 6.4x voxel / 6.0x box-flux ESS/s at 120x120 and "
+                "4.5x ESS/s at full MUSE field (COARSE_REGIMES_r05.json). "
+                "Pass coarse_every=0 to disable.",
+                self.problem.Y, self.problem.X, self.problem.f, auto_every,
+            )
+        elif (
+            coarse_every is None
+            and sampler in ("mh", "gibbs")
+            and self.problem.f >= max(9, min(self.problem.Y,
+                                             self.problem.X) // 2)
+        ):
             logger.warning(
                 "FSF footprint (%d px) covers >= half the %dx%d field: "
                 "single-site sweeps mix the blur-null modes too slowly for "
                 "a posterior mean to localise sources in a fixed-length "
-                "run.  Enabling global coarse-pattern passes "
-                "(coarse_every=8); pass coarse_every=0 to disable, or use "
-                "map_estimate()/sampler='direct' for point estimates.",
+                "run.  Coarse passes are NOT auto-enabled at this size — "
+                "measured a wall-clock ESS/s LOSS (0.08-0.5x vs plain, "
+                "COARSE_REGIMES_r05.json).  Use map_estimate() or "
+                "sampler='direct' for point estimates, or coarse_every=8 "
+                "with a long run if you need MCMC uncertainties here.",
                 self.problem.f, self.problem.Y, self.problem.X,
             )
-        elif self.config.coarse_every == 0:
+        if self.config.coarse_every == 0:
             # explicit opt-out: normalise to the interleaver's 'off' value
             self.config = dataclasses.replace(self.config, coarse_every=None)
             self.problem = dataclasses.replace(
