@@ -1,0 +1,273 @@
+"""Hardware-utilization roofline for the three hot paths (VERDICT r4 #6).
+
+Reports achieved FLOP/s and HBM GB/s against v5e peaks for
+
+  1. the fused whole-cube MH kernel on the MUSE 30×30×600 subcube,
+  2. the HBM-tiled exact-Gibbs sweep at full MUSE field (300×300×3681),
+  3. one full-field PCG iteration of the direct sampler,
+
+and states which resource binds each.  Methodology per stage:
+
+  * wall time: warm timed windows (same harness as bench.py/the drives);
+  * PCG: FLOPs and bytes from XLA's own ``compiled.cost_analysis()`` —
+    authoritative for a pure-XLA program;
+  * Pallas kernels: XLA cannot see inside a custom call, so FLOPs/bytes
+    are STRUCTURAL COUNTS from the kernel's pass shapes (documented in
+    the emitted formulas; coefficients are exact op counts of the slab
+    passes, so the totals are right to better than 2×):
+      - per color step the kernel scans the resident slab once for the
+        lin contraction (1 + 3S flops/elem over [C,BY,W8,Lp]) and once
+        for the commit (3S flops/elem), S = FSF factorisation rank;
+      - MH adds ~20 flops/elem on the [C,nij,Lp] proposal block
+        (Cauchy tan, exp, log accept);
+      - gibbs adds lw phases × (2·lw band + ~10) flops/elem on the
+        [C,nij,Lp] block (the λ-phase loop), lw = LSF width;
+      - a sweep is f² color steps; HBM traffic = slab in/out per segment
+        (whole-cube kernel: VMEM-resident across the segment) or per
+        sweep (tiled kernel: window DMA per tile) + constants + dclean.
+
+v5e peaks (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM.  The VPU
+f32 peak is not published; the clock-derived estimate (4 MXU·128·128·2
+@ ~1.5 GHz ⇒ VPU ≈ 2 vector units·(8,128)·2 FMA·1.5 GHz) is ~4-6
+TFLOP/s and is labeled an estimate in the output.
+
+    python benchmarks/roofline.py [--skip-fullfield]
+
+Writes ROOFLINE_r05.json.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deconv3d_tpu import Cube, instruments as ins, sampler as sm
+
+HBM_PEAK = 819e9
+MXU_PEAK_BF16 = 197e12
+VPU_PEAK_EST = 5e12     # clock-derived estimate, ±50%
+
+
+def _subcube_mh():
+    """Stage 1: fused whole-cube MH kernel, MUSE 30×30×600."""
+    from deconv3d_tpu.ops.pallas_sweep import _geometry, _pad_lanes
+
+    L, Y, X = 600, 30, 30
+    rng = np.random.default_rng(0)
+    truth = np.zeros((L, Y, X), np.float32)
+    truth[300, 15, 15] = 50.0
+    data = truth + rng.standard_normal((L, Y, X)).astype(np.float32)
+    cube = Cube.from_data(data, variance=np.ones_like(data),
+                          crval=4750.0, cdelt=1.25)
+    cfg = sm.RunConfig(max_iterations=10_000, burn_in=500, seed=0)
+    p = sm.make_problem(cube, inst := ins.MUSE(), cfg)
+    st = sm.init_state(p)
+    r = sm.run_sweeps(p, st, 50)
+    jax.block_until_ready(r.state.clean)
+    n = 1024
+    r = sm.run_sweeps(p, r.state, n)
+    jax.block_until_ready(r.state.clean)
+    t0 = time.perf_counter()
+    r = sm.run_sweeps(p, r.state, n)
+    jax.block_until_ready(r.state.clean)
+    dt = time.perf_counter() - t0
+    sps = n / dt
+
+    S = int(p.fsf_spec.shape[0])
+    f, ny, nx = p.f, p.ny, p.nx
+    lw = int(p.lsf.shape[1])
+    BY, BX, W8, Wpa = _geometry(f, ny, nx)
+    Lp = _pad_lanes(L)
+    C = 1
+    slab = C * BY * W8 * Lp
+    nij = ny * nx
+    blk = C * nij * Lp
+    flops_color = slab * (1 + 6 * S) + blk * 20
+    flops_sweep = f * f * flops_color
+    seg = 128  # whole-cube kernel segment length (resid resident across)
+    bytes_sweep = (
+        C * (ny * f) * (nx * f) * Lp * 4          # dclean cube-equivalent out
+        + 2 * C * BY * Wpa * Lp * 4 / seg          # resid in/out per segment
+    )
+    return {
+        "stage": "fused_mh_kernel_subcube_30x30x600",
+        "sweeps_per_sec": round(sps, 1),
+        "S_rank": S, "f": f, "lw": lw,
+        "flops_per_sweep": float(f"{flops_sweep:.3e}"),
+        "bytes_per_sweep": float(f"{bytes_sweep:.3e}"),
+        "achieved_flops": float(f"{flops_sweep * sps:.3e}"),
+        "achieved_hbm_gbps": round(bytes_sweep * sps / 1e9, 2),
+        "pct_hbm_peak": round(100 * bytes_sweep * sps / HBM_PEAK, 2),
+        "pct_vpu_peak_est": round(
+            100 * flops_sweep * sps / VPU_PEAK_EST, 1),
+        "pct_mxu_peak": round(
+            100 * flops_sweep * sps / MXU_PEAK_BF16, 2),
+        "color_steps_per_sec": round(f * f * sps, 0),
+        "formula": "flops/sweep = f^2*(slab*(1+6S) + blk*20), "
+                   "slab=C*BY*W8*Lp, blk=C*ny*nx*Lp (kernel pass shapes)",
+        "binder": None,  # filled by caller
+    }
+
+
+def _fullfield_gibbs():
+    """Stage 2: HBM-tiled exact-Gibbs sweep at full MUSE field."""
+    import sys
+    sys.path.insert(0, "benchmarks")
+    from fullfield_drive import build_field
+    from deconv3d_tpu.ops.pallas_sweep import _pad_lanes
+    from deconv3d_tpu.ops.pallas_tiled import _max_segment
+
+    inst = ins.MUSE()
+    holder = [build_field(inst)]
+    cfg = sm.RunConfig(max_iterations=10_000, burn_in=64, seed=0,
+                       sampler="gibbs", track_variance=False)
+    p = sm.make_problem(holder.pop(), inst, cfg)
+    cap = _max_segment(p)
+    st = sm.init_state(p)
+    jax.block_until_ready(st.resid)
+    r = sm.run_sweeps(p, st, cap)
+    del st
+    jax.block_until_ready(r.state.chi2)
+    n = 3 * cap
+    t0 = time.time()
+    done = 0
+    while done < n:
+        r = sm.run_sweeps(p, r.state, cap)
+        jax.block_until_ready(r.state.chi2)
+        done += cap
+    dt = time.time() - t0
+    sps = done / dt
+
+    S = int(p.fsf_spec.shape[0]) if p.fsf_spec is not None else 1
+    f, ny, nx = p.f, p.ny, p.nx
+    lw = int(p.lsf.shape[1])
+    Lp = _pad_lanes(p.L)
+    Yc, Xc = ny * f, nx * f
+    nij = ny * nx
+    C = 1
+    slab_total = C * Yc * (Xc + f) * Lp     # Σ tiles ≈ cube + halo overhead
+    blk = C * nij * Lp
+    flops_color = slab_total * (1 + 6 * S) + blk * lw * (2 * lw + 10)
+    flops_sweep = f * f * flops_color
+    # tiled kernel: window DMA in+out per sweep, w (bf16) + quad + qvox +
+    # dclean each cube-equivalent per sweep
+    cube_b = C * Yc * Xc * Lp * 4
+    bytes_sweep = 2 * cube_b + 0.5 * cube_b + 2 * cube_b + cube_b
+    res = {
+        "stage": "tiled_gibbs_sweep_fullfield_300x300x3681",
+        "sweeps_per_sec": round(sps, 3),
+        "S_rank": S, "f": f, "lw": lw, "tile": list(p.config.tile or ()),
+        "flops_per_sweep": float(f"{flops_sweep:.3e}"),
+        "bytes_per_sweep": float(f"{bytes_sweep:.3e}"),
+        "achieved_flops": float(f"{flops_sweep * sps:.3e}"),
+        "achieved_hbm_gbps": round(bytes_sweep * sps / 1e9, 2),
+        "pct_hbm_peak": round(100 * bytes_sweep * sps / HBM_PEAK, 2),
+        "pct_vpu_peak_est": round(
+            100 * flops_sweep * sps / VPU_PEAK_EST, 1),
+        "color_steps_per_sec": round(f * f * sps, 0),
+        "formula": "flops/sweep = f^2*(slab*(1+6S) + blk*lw*(2lw+10)); "
+                   "bytes/sweep = 5.5 cube-equivalents (window r/w, w bf16,"
+                   " quad, qvox, dclean)",
+    }
+    # free everything before the next stage builds its own full field
+    del p, r
+    return res
+
+
+def _fullfield_pcg():
+    """Stage 3: one PCG iteration, full-field direct sampler (XLA
+    cost_analysis — authoritative flops/bytes for the pure-XLA step)."""
+    import sys
+    sys.path.insert(0, "benchmarks")
+    from fullfield_drive import build_field
+    from deconv3d_tpu.ops import direct as dr
+
+    inst = ins.MUSE()
+    holder = [build_field(inst)]
+    cfg = sm.RunConfig(max_iterations=4, burn_in=0, seed=0,
+                       sampler="direct", prior_precision=1e-3,
+                       direct_tol=1e-5, direct_maxiter=600,
+                       track_variance=False)
+    p = sm.make_problem(holder.pop(), inst, cfg)
+    mode = dr._resolve_precond_mode(p, None)
+    tau = dr._tau(p)
+    pstate = dr._precond_state_jit(p, mode, tau)
+    init, step = dr._host_pcg_programs(p, mode, tau)
+    b = dr._b_draw(p, jax.random.PRNGKey(3))
+    x, r, pvec, rz, bnorm = init(p, pstate, b)
+    # compile + warm one step, then time 10
+    x, r, pvec, rz, rn = step(p, pstate, x, r, pvec, rz)
+    jax.block_until_ready(rn)
+    t0 = time.time()
+    for _ in range(10):
+        x, r, pvec, rz, rn = step(p, pstate, x, r, pvec, rz)
+    jax.block_until_ready(rn)
+    dt = (time.time() - t0) / 10
+
+    # cost analysis of the compiled step
+    lowered = step.lower(p, pstate, x, r, pvec, rz)
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bya = float(ca.get("bytes accessed", 0.0))
+    return {
+        "stage": "pcg_iteration_fullfield_direct",
+        "seconds_per_iteration": round(dt, 4),
+        "flops_per_iteration_xla": float(f"{flops:.3e}"),
+        "bytes_accessed_xla": float(f"{bya:.3e}"),
+        "achieved_flops": float(f"{flops / dt:.3e}"),
+        "achieved_hbm_gbps": round(bya / dt / 1e9, 2),
+        "pct_hbm_peak": round(100 * bya / dt / HBM_PEAK, 2),
+        "pct_mxu_peak": round(100 * flops / dt / MXU_PEAK_BF16, 2),
+        "pct_vpu_peak_est": round(100 * flops / dt / VPU_PEAK_EST, 1),
+        "note": "bytes-accessed counts every HLO buffer touch (XLA's "
+                "convention) — an upper bound on physical HBM traffic "
+                "since fused producers stay in registers/VMEM",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-fullfield", action="store_true")
+    args = ap.parse_args()
+    out = {"device": str(jax.devices()[0]),
+           "peaks": {"hbm_gbps": HBM_PEAK / 1e9,
+                     "mxu_bf16_tflops": MXU_PEAK_BF16 / 1e12,
+                     "vpu_f32_tflops_est": VPU_PEAK_EST / 1e12},
+           "stages": []}
+    s1 = _subcube_mh()
+    s1["binder"] = (
+        "VPU/serialization: %.1f%% of VPU-peak estimate at %.2f%% of HBM "
+        "peak — the f^2 color serialization re-scans the VMEM-resident "
+        "slab per color; HBM and MXU are idle by construction"
+        % (s1["pct_vpu_peak_est"], s1["pct_hbm_peak"]))
+    out["stages"].append(s1)
+    print(json.dumps(s1), flush=True)
+    if not args.skip_fullfield:
+        s2 = _fullfield_gibbs()
+        s2["binder"] = (
+            "VPU: %.1f%% of VPU-peak estimate, %.2f%% of HBM peak — "
+            "compute-bound slab scans, not bandwidth"
+            % (s2["pct_vpu_peak_est"], s2["pct_hbm_peak"]))
+        out["stages"].append(s2)
+        print(json.dumps(s2), flush=True)
+        s3 = _fullfield_pcg()
+        s3["binder"] = (
+            "HBM: %.1f%% of HBM peak at %.2f%% MXU — FFT/banded stages "
+            "stream cube-size vectors; bandwidth-bound as expected for "
+            "sparse-free linear algebra"
+            % (s3["pct_hbm_peak"], s3["pct_mxu_peak"]))
+        out["stages"].append(s3)
+        print(json.dumps(s3), flush=True)
+    with open("ROOFLINE_r05.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
