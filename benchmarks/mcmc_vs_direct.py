@@ -210,22 +210,39 @@ def add_box_columns(trace, boxes):
 # Drives
 # ---------------------------------------------------------------------------
 
-def direct_truth(cube, inst, sources, n_draws, fsf_size, maxiter, tol=1e-5):
-    """N iid exact draws: reference moments + their standard errors."""
+def direct_truth(cube, inst, sources, n_draws, fsf_size, maxiter, tol=1e-5,
+                 seg=16):
+    """N iid exact draws: reference moments + their standard errors.
+
+    Chunked into ``seg``-draw segments with a host sync between: one
+    200-draw scan is a ~40-minute single device program, long enough to
+    trip the tunneled backend (measured UNAVAILABLE fault, 2026-08-20).
+    """
     cfg = sm.RunConfig(max_iterations=n_draws, burn_in=0, seed=42,
                        sampler="direct", fsf_size=fsf_size,
                        direct_maxiter=maxiter, direct_tol=tol)
     p, boxes = with_monitors(cube, inst, cfg, sources)
     t0 = time.time()
-    r = sm.run_sweeps(p, sm.init_state(p), n_draws)
-    jax.block_until_ready(r.state.clean)
+    st = sm.init_state(p)
+    mons, accs = [], []
+    done = 0
+    while done < n_draws:
+        k = min(seg, n_draws - done)
+        r = sm.run_sweeps(p, st, k)
+        st = r.state
+        jax.block_until_ready(st.clean)
+        mons.append(np.asarray(r.monitor_trace))
+        accs.append(np.asarray(r.accept_trace))
+        done += k
+        print(f"  direct {done}/{n_draws} "
+              f"({done / (time.time() - t0):.2f} draws/s)", flush=True)
     dt = time.time() - t0
-    conv = float(np.asarray(r.accept_trace).mean())
+    conv = float(np.concatenate(accs).mean())
     if conv < 1.0:
         raise RuntimeError(
             f"only {conv:.0%} of direct draws converged (maxiter={maxiter}) "
             "— ground truth would be biased; raise maxiter")
-    tr = add_box_columns(np.asarray(r.monitor_trace), boxes)
+    tr = add_box_columns(np.concatenate(mons, axis=0), boxes)
     N = tr.shape[0]
     mu0 = tr.mean(0)
     s0 = tr.std(0, ddof=1)
