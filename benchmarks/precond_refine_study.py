@@ -82,12 +82,20 @@ def main():
         ("radial_1024", dict(direct_precond="banded_radial",
                              direct_radial_bins=1024)),
     ]
+    rows = []
     for label, kw in cases:
         cfg = sm.RunConfig(sampler="direct", prior_precision=1e-3,
                            direct_tol=args.tol, direct_maxiter=600,
                            seed=0, **kw)
         p = sm.make_problem(cube, inst, cfg)
-        measure(p, label)
+        rows.append(measure(p, label))
+
+    out = {"geometry": [L, Y, X], "device": str(jax.devices()[0]),
+           "tol": args.tol, "maxiter": 600, "prior_precision": 1e-3,
+           "cases": rows}
+    with open("PRECOND_REFINE_r05.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
