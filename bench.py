@@ -301,6 +301,29 @@ def main() -> None:
         ),
         "gibbs_block_sweeps_per_sec": round(n_blk / dt_b, 2),
     }
+    # Roofline utilization (VERDICT r4 #6): measured-by-counters numbers
+    # from benchmarks/roofline.py (XLA cost_analysis for the PCG stage;
+    # structural op counts for inside-Pallas stages, which XLA cannot
+    # see).  Attached from the artifact rather than re-measured — the
+    # full-field stages take ~20 min and belong in their own run.
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "ROOFLINE_r05.json")) as fh:
+            roof = json.load(fh)
+        for st in roof.get("stages", []):
+            name = st["stage"]
+            if "mh_kernel" in name:
+                result["roofline_mh_pct_vpu_est"] = st["pct_vpu_peak_est"]
+                result["roofline_mh_pct_hbm"] = st["pct_hbm_peak"]
+            elif "gibbs" in name:
+                result["roofline_gibbs_pct_vpu_est"] = (
+                    st["pct_vpu_peak_est"])
+                result["roofline_gibbs_pct_hbm"] = st["pct_hbm_peak"]
+            elif "pcg" in name:
+                result["roofline_pcg_pct_hbm"] = st["pct_hbm_peak"]
+                result["roofline_pcg_pct_mxu"] = st["pct_mxu_peak"]
+    except (OSError, KeyError, ValueError):
+        pass
     _done.set()
     print(json.dumps(result))
 

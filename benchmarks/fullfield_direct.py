@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--maxiter", type=int, default=600)
     ap.add_argument("--tau", type=float, default=1e-3,
                     help="ridge precision of the converged configuration")
+    ap.add_argument("--batch", action="store_true",
+                    help="measure the K-RHS batched host PCG instead of "
+                         "the scaled/flat extras: K=1 (pcg_host) vs K=2 "
+                         "(pcg_host_batch) draws/s table (VERDICT r4 #5)")
     ap.add_argument("--out", default="FULLFIELD_r04_direct.json")
     args = ap.parse_args()
     L, Y, X = args.l, args.y, args.y
@@ -98,6 +102,58 @@ def main():
           f"{p.quad is None})", flush=True)
     measure_draw(p, 1, "ridge_warmup(compile)")
     results["draws"].append(measure_draw(p, 2, "ridge"))
+
+    if args.batch:
+        # --- K-RHS batched draws (VERDICT r4 #5): mid-size measured
+        # 1.17x per draw at K=2 (BATCHED_DIRECT_r05.json); here the
+        # question is whether the batched carries + transients fit the
+        # chip at full field, and if so whether the win transfers.
+        base = results["draws"][-1]["seconds_per_draw"]
+        results["batched"] = [
+            {"K": 1, "seconds_per_draw": base, "speedup_per_draw": 1.0}
+        ]
+        for K in (2,):
+            try:
+                keys = jax.random.split(jax.random.PRNGKey(40), K)
+                bs = jnp.stack([dr._b_draw(p, k) for k in keys])
+                jax.block_until_ready(bs)
+                res = dr.pcg_host_batch(
+                    p, bs, args.tol, args.maxiter)  # compile + run
+                jax.block_until_ready(res.x)
+                del res, bs
+                keys = jax.random.split(jax.random.PRNGKey(41), K)
+                bs = jnp.stack([dr._b_draw(p, k) for k in keys])
+                jax.block_until_ready(bs)
+                t0 = time.time()
+                res = dr.pcg_host_batch(p, bs, args.tol, args.maxiter)
+                jax.block_until_ready(res.x)
+                dt = time.time() - t0
+                case = {
+                    "K": K,
+                    "iterations": [int(i) for i in
+                                   np.asarray(res.iterations)],
+                    "rel_residual": [float(f"{r:.2e}") for r in
+                                     np.asarray(res.rel_residual)],
+                    "seconds_total": round(dt, 2),
+                    "seconds_per_draw": round(dt / K, 2),
+                    "speedup_per_draw": round(base / (dt / K), 3),
+                }
+                del res, bs
+            except Exception as e:  # RESOURCE_EXHAUSTED is a result here
+                case = {"K": K, "error": type(e).__name__,
+                        "message": str(e)[:300]}
+            results["batched"].append(case)
+            print(json.dumps(case), flush=True)
+        results["note"] = (
+            "one draw = one FULL unit of ESS (iid exact sampling); "
+            "batched = K RHS through one host-loop PCG sharing the "
+            "operator/preconditioner constants and the latency-bound "
+            "banded scans."
+        )
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(json.dumps(results), flush=True)
+        return
 
     # --- VERDICT r3 next #7 attempt: boundary/mask-aware diagonal scaling
     # of the radial preconditioner.  Same problem constants; only the

@@ -704,6 +704,105 @@ def pcg_host(problem, b, tol: float, maxiter: int,
     )
 
 
+#: batched twin of _HOST_PCG_CACHE (separate: the two step programs have
+#: different shapes and donation layouts)
+_HOST_PCG_BATCH_CACHE: dict = {}
+
+
+def _host_pcg_programs_batched(problem, mode: str, tau: float):
+    """Jitted (init, step) programs for ``pcg_host_batch``: K RHS columns
+    ride one step program with the SAME per-iteration arithmetic as
+    ``pcg``'s masked body (converged columns freeze; active ones update).
+
+    Why batch: the mid-size study (BATCHED_DIRECT_r05.json, 120×120×600)
+    measured 1.17×/1.24× per-draw speedup at K=2/4 — the banded
+    triangular solves are lax.scans over L whose per-step work sits below
+    the VPU width (latency-bound), so K columns share one scan nearly
+    free.  Memory: carries are 3·K cubes + batched transients; at full
+    MUSE field K=2 is the HBM ceiling candidate — measured by
+    ``benchmarks/fullfield_direct.py --batch``.
+    """
+    from ..parallel.cache import evict_dead
+
+    evict_dead(_HOST_PCG_BATCH_CACHE)
+    ckey = (id(problem), mode, tau)
+    ent = _HOST_PCG_BATCH_CACHE.get(ckey)
+    if ent is not None and ent[0]() is problem:
+        return ent[1], ent[2]
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def init(pp, pstate, b):                       # b: [K, L, Y, X]
+        bnorm = jnp.sqrt(jnp.sum(b * b, axis=(1, 2, 3)))        # [K]
+        z0 = jax.vmap(lambda rr: _precond_apply(pp, mode, pstate, rr))(b)
+        rz0 = jnp.sum(b * z0, axis=(1, 2, 3))                   # [K]
+        x0 = jnp.zeros_like(b)
+        return x0, b, z0, rz0, bnorm
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
+    def step(pp, pstate, x, r, pvec, rz, active):
+        # active: [K] bool — a frozen column keeps x/r/pvec/rz verbatim
+        # (alpha=beta=0 path, identical to pcg's masked body)
+        A = make_normal_operator(pp, tau)
+        Ap = jax.vmap(A)(pvec)
+        denom = jnp.sum(pvec * Ap, axis=(1, 2, 3))              # [K]
+        ok = active & (denom > 0)
+        alpha = jnp.where(ok, rz / jnp.maximum(denom, 1e-30), 0.0)
+        a4 = alpha[:, None, None, None]
+        x = x + a4 * pvec
+        r = r - a4 * Ap
+        z = jax.vmap(lambda rr: _precond_apply(pp, mode, pstate, rr))(r)
+        rz_new = jnp.sum(r * z, axis=(1, 2, 3))
+        okb = active & (rz > 0)
+        beta = jnp.where(okb, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+        pvec = jnp.where(active[:, None, None, None],
+                         z + beta[:, None, None, None] * pvec, pvec)
+        rnorm = jnp.sqrt(jnp.sum(r * r, axis=(1, 2, 3)))
+        return x, r, pvec, jnp.where(active, rz_new, rz), rnorm
+
+    _HOST_PCG_BATCH_CACHE[ckey] = (weakref.ref(problem), init, step)
+    return init, step
+
+
+def pcg_host_batch(problem, bs, tol: float, maxiter: int,
+                   mode: str | None = None, prior_precision=None,
+                   pstate=None) -> PCGResult:
+    """K-RHS batched ``pcg_host``: one host loop drives K columns with
+    per-column masked updates (total iterations = max over columns — for
+    iid draws of one operator the columns converge together, so the
+    shared-scan amortisation is pure win where it fits HBM).
+
+    Per-column results match ``pcg_host`` to float-reduction tolerance
+    (same update order; tests/test_direct.py equality case).  Returns a
+    PCGResult with a leading batch axis on every field.
+    """
+    p = problem
+    mode = _resolve_precond_mode(p, mode)
+    tau = _tau(p, prior_precision)
+    init, step = _host_pcg_programs_batched(p, mode, tau)
+    if pstate is None:
+        pstate = _precond_state_jit(p, mode, tau)
+    x, r, pvec, rz, bnorm = init(p, pstate, bs)
+    K = int(bnorm.shape[0])
+    bfloor = np.maximum(np.asarray(bnorm, np.float64), 1e-30)
+    rnorm = np.asarray(bnorm, np.float64).copy()   # r0 = b exactly
+    iters = np.zeros(K, np.int64)
+    it = 0
+    while it < maxiter and bool((rnorm > tol * bfloor).any()):
+        active = jnp.asarray(rnorm > tol * bfloor)
+        x, r, pvec, rz, rnorm_dev = step(p, pstate, x, r, pvec, rz, active)
+        new_rnorm = np.asarray(rnorm_dev, np.float64)
+        act = np.asarray(active)
+        iters += act
+        # frozen columns keep their converged residual norm
+        rnorm = np.where(act, new_rnorm, rnorm)
+        it += 1
+    return PCGResult(
+        x=x,
+        iterations=jnp.asarray(iters, jnp.int32),
+        rel_residual=jnp.asarray(rnorm / bfloor, x.dtype),
+    )
+
+
 #: the monolithic jitted-PCG program (lax.while_loop) measured ~15
 #: cube-size buffers total at the full MUSE field (memory_analysis,
 #: 2026-08-18: 11.5 cubes temp + args + output = 18.2 GB — OOMs a 16 GB

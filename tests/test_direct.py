@@ -522,6 +522,35 @@ class TestHostLoopPCG:
             rtol=1e-5, atol=1e-8,
         )
 
+    def test_pcg_host_batch_matches_single_columns(self, rng):
+        """K-RHS batched host PCG == K independent pcg_host solves,
+        column for column — including a deliberately EASY column (scaled
+        preconditioner-friendly rhs) so the per-column convergence mask
+        freezes it while the hard columns keep iterating."""
+        p, *_ = _problem(rng, direct_tol=1e-8, direct_maxiter=400,
+                         prior_precision=0.2)
+        keys = jax.random.split(jax.random.PRNGKey(11), 3)
+        bs = jnp.stack([dr._b_draw(p, k) for k in keys])
+        # column 1: rhs along the operator's stiffest direction — solved
+        # in far fewer iterations than the noise-draw columns
+        mode = dr._resolve_precond_mode(p, None)
+        tau = dr._tau(p)
+        A = dr.make_normal_operator(p, tau)
+        easy = A(jnp.ones_like(bs[0]))
+        bs = bs.at[1].set(easy)
+        singles = [dr.pcg_host(p, bs[i], 1e-8, 400) for i in range(3)]
+        res = dr.pcg_host_batch(p, bs, 1e-8, 400)
+        iters = np.asarray(res.iterations)
+        for i, s in enumerate(singles):
+            assert abs(int(iters[i]) - int(s.iterations)) <= 1, i
+            assert float(res.rel_residual[i]) <= 1e-8
+            np.testing.assert_allclose(
+                np.asarray(res.x[i]), np.asarray(s.x),
+                rtol=1e-6, atol=1e-9,
+            )
+        # the easy column must have actually frozen early (mask exercised)
+        assert int(iters[1]) < int(iters[0])
+
     def test_host_draw_loop_matches_scan(self, rng):
         """Same RNG splits + same solver ⇒ the same chain, draw for draw."""
         p, *_ = _problem(rng, n=6, direct_tol=1e-9, direct_maxiter=400)
