@@ -36,3 +36,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled programs between test modules.
+
+    The full suite compiles thousands of XLA programs; with the 2026-08-21
+    container stack the in-process CPU compiler segfaulted DETERMINISTICALLY
+    near the 76% mark (test_sweep_sharded's first 8-device compile) once
+    ~250 tests' programs were live, while the same file passes alone in
+    90 s.  Bounding the live-program count per module keeps the suite
+    green; the cost is re-compiling shared helpers per module (~minutes
+    over the whole suite).
+    """
+    yield
+    jax.clear_caches()
