@@ -649,19 +649,41 @@ def _host_pcg_programs(problem, mode: str, tau: float):
         x0 = jnp.zeros_like(b)
         return x0, b, z0, rz0, bnorm
 
-    @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
-    def step(pp, pstate, x, r, pvec, rz):
+    # The iteration is SPLIT into an A-side and an M-side program with a
+    # host boundary between them, never fusing the conv/FFT operator
+    # chain and the banded-solve chain into one XLA program.  Reason
+    # (2026-08-21, measured): the container's TPU stack MISCOMPILES the
+    # combined program at full-field-class sizes — with both chains in
+    # one jit at 300×300×800 the step's z=M⁻¹r is silently wrong (rz off
+    # by 33%; M applied alone is bit-exact, A applied alone is
+    # symmetric to 5e-7) and full-field CG plateaus at rel~0.1 where the
+    # same code converged in 75 iterations on the 2026-08-20 stack.
+    # Split programs restore column-exact convergence; the extra host
+    # sync per iteration is the host-loop's existing (measured-free)
+    # dispatch pattern.
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def step_a(pp, x, r, pvec, rz):
         A = make_normal_operator(pp, tau)
         Ap = A(pvec)
         denom = jnp.sum(pvec * Ap)
         alpha = jnp.where(denom <= 0, 0.0, rz / jnp.maximum(denom, 1e-30))
         x = x + alpha * pvec
         r = r - alpha * Ap
+        rnorm = jnp.sqrt(jnp.sum(r * r))
+        return x, r, rnorm
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def step_b(pp, pstate, r, pvec, rz):
         z = _precond_apply(pp, mode, pstate, r)
         rz_new = jnp.sum(r * z)
         beta = jnp.where(rz <= 0, 0.0, rz_new / jnp.maximum(rz, 1e-30))
         pvec = z + beta * pvec
-        rnorm = jnp.sqrt(jnp.sum(r * r))
+        return pvec, rz_new
+
+    def step(pp, pstate, x, r, pvec, rz):
+        x, r, rnorm = step_a(pp, x, r, pvec, rz)
+        pvec, rz_new = step_b(pp, pstate, r, pvec, rz)
         return x, r, pvec, rz_new, rnorm
 
     _HOST_PCG_CACHE[ckey] = (weakref.ref(problem), init, step)
@@ -738,8 +760,14 @@ def _host_pcg_programs_batched(problem, mode: str, tau: float):
         x0 = jnp.zeros_like(b)
         return x0, b, z0, rz0, bnorm
 
-    @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
-    def step(pp, pstate, x, r, pvec, rz, active):
+    # A-side / M-side split with a host boundary, mirroring
+    # _host_pcg_programs: the 2026-08-21 stack miscompiles programs that
+    # fuse the operator chain and the banded-solve chain (see the comment
+    # there) — and the batched step would otherwise also carry K parallel
+    # M-chains in one program, the other measured-miscompiling shape.
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def step_a(pp, x, r, pvec, rz, active):
         # active: [K] bool — a frozen column keeps x/r/pvec/rz verbatim
         # (alpha=beta=0 path, identical to pcg's masked body)
         A = make_normal_operator(pp, tau)
@@ -750,14 +778,23 @@ def _host_pcg_programs_batched(problem, mode: str, tau: float):
         a4 = alpha[:, None, None, None]
         x = x + a4 * pvec
         r = r - a4 * Ap
+        rnorm = jnp.sqrt(jnp.sum(r * r, axis=(1, 2, 3)))
+        return x, r, rnorm
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def step_b(pp, pstate, r, pvec, rz, active):
         z = jax.vmap(lambda rr: _precond_apply(pp, mode, pstate, rr))(r)
         rz_new = jnp.sum(r * z, axis=(1, 2, 3))
         okb = active & (rz > 0)
         beta = jnp.where(okb, rz_new / jnp.maximum(rz, 1e-30), 0.0)
         pvec = jnp.where(active[:, None, None, None],
                          z + beta[:, None, None, None] * pvec, pvec)
-        rnorm = jnp.sqrt(jnp.sum(r * r, axis=(1, 2, 3)))
-        return x, r, pvec, jnp.where(active, rz_new, rz), rnorm
+        return pvec, jnp.where(active, rz_new, rz)
+
+    def step(pp, pstate, x, r, pvec, rz, active):
+        x, r, rnorm = step_a(pp, x, r, pvec, rz, active)
+        pvec, rz_new = step_b(pp, pstate, r, pvec, rz, active)
+        return x, r, pvec, rz_new, rnorm
 
     _HOST_PCG_BATCH_CACHE[ckey] = (weakref.ref(problem), init, step)
     return init, step
