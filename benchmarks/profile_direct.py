@@ -62,7 +62,7 @@ def main():
                       "fsf_footprint": int(p.f),
                       "lsf_width": int(p.lsf.shape[1])}), flush=True)
 
-    pstate = jax.jit(lambda pp: dr._precond_state(pp, mode, tau))(p)
+    pstate = jax.jit(lambda pp: dr._precond_state(pp, mode, dr._precond_tau(p, tau)))(p)
     jax.block_until_ready(pstate)
     r = jax.random.normal(jax.random.PRNGKey(1), (L, Y, X), jnp.float32)
 

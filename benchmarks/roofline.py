@@ -195,7 +195,7 @@ def _fullfield_pcg():
     p = sm.make_problem(holder.pop(), inst, cfg)
     mode = dr._resolve_precond_mode(p, None)
     tau = dr._tau(p)
-    pstate = dr._precond_state_jit(p, mode, tau)
+    pstate = dr._precond_state_jit(p, mode, dr._precond_tau(p, tau))
     init, step = dr._host_pcg_programs(p, mode, tau)
     b = dr._b_draw(p, jax.random.PRNGKey(3))
     x, r, pvec, rz, bnorm = init(p, pstate, b)

@@ -159,6 +159,50 @@ def _tau(problem, override=None) -> float:
 #: τ/w̄ ratio used by ``suggest_prior_precision`` / ``prior_precision="auto"``
 AUTO_PRIOR_REL = 1e-4
 
+#: default M-side ridge ratio τ_m/w̄ of the Fourier preconditioners
+#: (``RunConfig.direct_precond_tau='auto'``).  Measured dead zone below
+#: 1e-2: with τ_m = τ_A = 1e-3·w̄ the exact banded preconditioner STALLS
+#: CG at geometry-fragile sizes (rel 8e-2 plateau; 2026-08-21 study in
+#: the RunConfig.direct_precond_tau docstring) because it faithfully
+#: inverts periodic-model near-null modes whose true-operator
+#: counterparts differ at the field boundary; 1e-2 converges in 98
+#: iterations there and costs ~25 extra iterations where τ_m = τ_A also
+#: converged.
+PRECOND_TAU_REL = 1e-2
+
+
+def _precond_tau(problem, tau: float) -> float:
+    """Resolved M-side ridge τ_m ≥ τ (see ``PRECOND_TAU_REL``).
+
+    Only the PRECONDITIONER is built with τ_m; the operator A keeps the
+    model ridge τ, so the sampled posterior/MAP solution is unchanged —
+    τ_m trades a few extra CG iterations for a bounded M⁻¹ gain on the
+    modes the periodic model gets wrong.
+
+    FLAT-PRIOR (τ = 0) solves keep τ_m = 0 (the legacy 1e-8-relative
+    internal ridge only): with a singular-direction-free stop test the
+    near-exact preconditioner is what polishes the near-null solution
+    components to the dense-oracle level the toy tests pin, and the
+    flat-prior full-field stall is a recorded property of that model
+    either way.  The gain cap is a RIDGE-path fix: there σ_min = τ
+    bounds the solution error per unit residual, so capping M's gain
+    costs iterations, never accuracy.
+    """
+    if tau <= 0:
+        return tau
+    t = getattr(problem.config, "direct_precond_tau", "auto")
+    if isinstance(t, str):
+        if t != "auto":
+            raise ValueError(
+                f"direct_precond_tau must be a float or 'auto', got {t!r}")
+        # make_problem resolves 'auto' to a float; reaching here means a
+        # hand-built config bypassed it — fall back to the mean weight,
+        # which requires concrete (untraced) problem arrays.
+        w = np.asarray(_w_in(problem) * _free_mask(problem), np.float32)
+        wbar = float(w.sum() / max((w > 0).sum(), 1))
+        return max(tau, PRECOND_TAU_REL * wbar)
+    return max(tau, float(t))
+
 
 def suggest_prior_precision(problem, rel: float = AUTO_PRIOR_REL) -> float:
     """Heuristic ridge strength  τ = rel · w̄  for direct draws / MAP solves.
@@ -379,7 +423,7 @@ def make_preconditioner(problem, mode: str | None = None,
     p = problem
     mode = _resolve_precond_mode(p, mode)
     tau = _tau(p, prior_precision)
-    state = _precond_state(p, mode, tau)
+    state = _precond_state(p, mode, _precond_tau(p, tau))
     return lambda r: _precond_apply(p, mode, state, r)
 
 
@@ -710,7 +754,7 @@ def pcg_host(problem, b, tol: float, maxiter: int,
     tau = _tau(p, prior_precision)
     init, step = _host_pcg_programs(p, mode, tau)
     if pstate is None:
-        pstate = _precond_state_jit(p, mode, tau)
+        pstate = _precond_state_jit(p, mode, _precond_tau(p, tau))
     x, r, pvec, rz, bnorm = init(p, pstate, b)
     bfloor = max(float(bnorm), 1e-30)
     it = 0
@@ -817,7 +861,7 @@ def pcg_host_batch(problem, bs, tol: float, maxiter: int,
     tau = _tau(p, prior_precision)
     init, step = _host_pcg_programs_batched(p, mode, tau)
     if pstate is None:
-        pstate = _precond_state_jit(p, mode, tau)
+        pstate = _precond_state_jit(p, mode, _precond_tau(p, tau))
     x, r, pvec, rz, bnorm = init(p, pstate, bs)
     K = int(bnorm.shape[0])
     bfloor = np.maximum(np.asarray(bnorm, np.float64), 1e-30)
@@ -1280,7 +1324,7 @@ def direct_run_sweeps_host(problem, state, n_sweeps: int, lean=None):
         )
     mode = _resolve_precond_mode(p, None)
     tau = _tau(p)
-    pstate = _precond_state_jit(p, mode, tau)
+    pstate = _precond_state_jit(p, mode, _precond_tau(p, tau))
     if lean is None:
         lean = (
             p.L * p.Y * p.X * np.dtype(cfg.dtype).itemsize

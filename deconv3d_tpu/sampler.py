@@ -156,6 +156,23 @@ class RunConfig:
     # near-null-mode damping at scale despite passing the dense oracle
     # at toy size).  Do not enable on large fields.
     direct_precond_scale: bool = False
+    # Ridge used INSIDE the Fourier preconditioners (M-side only — the
+    # operator A, and therefore the posterior, always uses
+    # prior_precision).  'auto' = max(prior_precision, 1e-2·w̄): bounds
+    # M⁻¹'s gain on the periodic model's near-null modes, whose faithful
+    # inversion is exactly where the boundary/mask mismatch lives (the
+    # same mechanism as the radial bin-count stall above).  Measured
+    # (2026-08-21, MUSE blur 300×300×800, A-ridge τ=1e-3·w̄): τ_m = τ
+    # STALLS (rel 8e-2 at 400 iterations), τ_m = 3e-3·w̄ stalls,
+    # τ_m = 1e-2·w̄ converges in 98 iterations, 3e-2 in 104, 1e-1 in
+    # 146 — and the τ_m = τ stall is GEOMETRY-FRAGILE (240² converges,
+    # 200² and 300² stall at L=800) and numerics-fragile (the full field
+    # converged on the 2026-08-20 container stack whose non-pow2 FFTs
+    # carried ~5e-3 error, then stalled identically on the more accurate
+    # 08-21 stack; CPU reproduces the stall bit-for-bit, so it is the
+    # exact preconditioner's own near-null amplification, not a TPU
+    # defect).  A float forces max(prior_precision, value).
+    direct_precond_tau: "float | str" = "auto"
     # spatial-conv path of the PCG operator (ops/direct._spatial): 'auto'
     # matches the backend (depthwise direct conv on TPU, FFT elsewhere);
     # 'direct'/'fft' force one.  Exists so CPU-mesh harnesses can request
@@ -412,6 +429,16 @@ def make_problem(
             f"direct_spatial must be 'auto', 'direct' or 'fft', got "
             f"{config.direct_spatial!r}"
         )
+    tm = config.direct_precond_tau
+    if isinstance(tm, str):
+        if tm != "auto":
+            raise ValueError(
+                f"direct_precond_tau must be a float or 'auto', got {tm!r}"
+            )
+    elif tm < 0:
+        raise ValueError(
+            f"direct_precond_tau must be >= 0, got {tm}"
+        )
     _tau_on = (
         config.prior_precision == "auto" or config.prior_precision > 0
     )
@@ -572,6 +599,21 @@ def make_problem(
         logging.getLogger("deconv3d_tpu").info(
             "prior_precision='auto' resolved to %.3e (rel=%.0e × mean "
             "weight)", config.prior_precision, AUTO_PRIOR_REL,
+        )
+    if config.direct_precond_tau == "auto":
+        # M-side ridge floor τ_m = PRECOND_TAU_REL·w̄ (see the RunConfig
+        # field docstring); resolved HERE for the same static-float
+        # reasons as prior_precision above.  max(τ, ·) happens at use
+        # time (ops/direct._precond_tau) since τ may be overridden per
+        # call.
+        from .ops.direct import PRECOND_TAU_REL
+
+        wf = w.astype(jnp.float32)
+        wbar = jnp.sum(wf) / jnp.maximum(
+            jnp.sum((wf > 0).astype(jnp.float32)), 1.0
+        )
+        config = dataclasses.replace(
+            config, direct_precond_tau=float(PRECOND_TAU_REL * wbar)
         )
     if engine in ("pallas", "pallas_tiled"):
         # the kernel keeps weights VMEM-resident in bfloat16; round here so

@@ -522,6 +522,35 @@ class TestHostLoopPCG:
             rtol=1e-5, atol=1e-8,
         )
 
+    def test_precond_tau_gain_cap(self, rng):
+        """M-side ridge (direct_precond_tau): resolution rules + the
+        solution-invariance contract (τ_m accelerates, never biases)."""
+        p, *_ = _problem(rng, prior_precision=0.3)
+        tau = dr._tau(p)
+        # auto resolved by make_problem to PRECOND_TAU_REL·w̄ (w̄=4.0
+        # at this noise), floored by τ at use time
+        assert p.config.direct_precond_tau == pytest.approx(
+            dr.PRECOND_TAU_REL * 4.0, rel=1e-5)
+        assert dr._precond_tau(p, tau) == pytest.approx(
+            max(tau, p.config.direct_precond_tau))
+        # flat prior: τ_m stays 0 (legacy near-exact preconditioner)
+        p_flat, *_ = _problem(rng)
+        assert dr._precond_tau(p_flat, 0.0) == 0.0
+        # explicit float override honored (max with τ)
+        p_ov, *_ = _problem(rng, prior_precision=0.3,
+                            direct_precond_tau=7.0)
+        assert dr._precond_tau(p_ov, dr._tau(p_ov)) == 7.0
+        # solution invariance: a (much) larger τ_m changes iterations,
+        # not the converged solution
+        res_def = dr.posterior_mean_host(p)
+        res_big = dr.pcg_host(
+            p_ov, dr.make_normal_operator(p, dr._tau(p))(jnp.ones(
+                (p.L, p.Y, p.X), p.config.dtype)), 1e-9, 2000)
+        ones = np.ones((p.L, p.Y, p.X))
+        np.testing.assert_allclose(np.asarray(res_big.x), ones,
+                                   rtol=1e-5, atol=1e-7)
+        assert float(res_def.rel_residual) <= p.config.direct_tol
+
     def test_pcg_host_batch_matches_single_columns(self, rng):
         """K-RHS batched host PCG == K independent pcg_host solves,
         column for column — including a deliberately EASY column (scaled
